@@ -1,0 +1,94 @@
+"""Image-op tests vs the OpenCV oracle (pyramid/CLAHE/remap parity with what
+the reference calls in visual_front_end.cpp:1143-1177)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from ov2slam_tpu.ops import image as im
+
+
+def make_texture(h=480, w=752, seed=0):
+    rng = np.random.default_rng(seed)
+    img = rng.uniform(0, 255, size=(h // 8, w // 8)).astype(np.float32)
+    img = cv2.resize(img, (w, h), interpolation=cv2.INTER_CUBIC)
+    return np.clip(img, 0, 255).astype(np.float32)
+
+
+def test_pyr_down_vs_opencv():
+    img = make_texture()
+    ours = np.asarray(im.pyr_down(jnp.asarray(img)))
+    ref = cv2.pyrDown(img)
+    assert ours.shape == ref.shape
+    # interior agreement (border handling differs at the first/last row/col)
+    np.testing.assert_allclose(ours[2:-2, 2:-2], ref[2:-2, 2:-2], atol=1.0)
+
+
+def test_build_pyramid_shapes():
+    img = make_texture()
+    pyr = im.build_pyramid(jnp.asarray(img), 3)
+    assert len(pyr) == 4
+    assert pyr[0].shape == (480, 752)
+    assert pyr[1].shape == (240, 376)
+    assert pyr[2].shape == (120, 188)
+    assert pyr[3].shape == (60, 94)
+
+
+def test_sample_bilinear_exact_on_grid():
+    img = make_texture(64, 64)
+    xs = np.stack(np.meshgrid(np.arange(10, 50), np.arange(5, 60)), axis=-1).astype(np.float32)
+    out = np.asarray(im.sample_bilinear(jnp.asarray(img), jnp.asarray(xs)))
+    np.testing.assert_allclose(out, img[xs[..., 1].astype(int) * 0 + xs[..., 1].astype(int), xs[..., 0].astype(int)], atol=1e-4)
+
+
+def test_sample_bilinear_interpolates():
+    img = np.array([[0.0, 10.0], [20.0, 30.0]], np.float32)
+    xy = jnp.asarray(np.array([[0.5, 0.5]], np.float32))
+    out = np.asarray(im.sample_bilinear(jnp.asarray(img), xy))
+    np.testing.assert_allclose(out, [15.0], atol=1e-5)
+
+
+def test_remap_vs_opencv():
+    img = make_texture()
+    h, w = img.shape
+    # a gentle warp
+    ys, xs = np.meshgrid(np.arange(h, dtype=np.float32), np.arange(w, dtype=np.float32), indexing="ij")
+    mx = xs + 3.0 * np.sin(ys / 37.0)
+    my = ys + 2.0 * np.cos(xs / 53.0)
+    ref = cv2.remap(img, mx, my, cv2.INTER_LINEAR, borderMode=cv2.BORDER_REPLICATE)
+    grid = jnp.asarray(np.stack([mx, my], axis=-1))
+    ours = np.asarray(im.remap_bilinear(jnp.asarray(img), grid))
+    np.testing.assert_allclose(ours[5:-5, 5:-5], ref[5:-5, 5:-5], atol=0.5)
+
+
+def test_scharr_vs_opencv():
+    img = make_texture()
+    ix, iy = im.scharr_gradients(jnp.asarray(img))
+    ref_x = cv2.Scharr(img, cv2.CV_32F, 1, 0, scale=1.0 / 32.0)
+    ref_y = cv2.Scharr(img, cv2.CV_32F, 0, 1, scale=1.0 / 32.0)
+    np.testing.assert_allclose(np.asarray(ix)[2:-2, 2:-2], ref_x[2:-2, 2:-2], atol=1e-2)
+    np.testing.assert_allclose(np.asarray(iy)[2:-2, 2:-2], ref_y[2:-2, 2:-2], atol=1e-2)
+
+
+def test_clahe_close_to_opencv():
+    img = make_texture()
+    ours = np.asarray(im.clahe(jnp.asarray(img), clip_limit=3.0))
+    ref = cv2.createCLAHE(clipLimit=3.0, tileGridSize=(8, 8)).apply(
+        img.astype(np.uint8)
+    ).astype(np.float32)
+    # implementations differ in rounding & excess redistribution details;
+    # require strong pixelwise correlation and similar histogram stretch
+    d = ours - ref
+    assert np.abs(d).mean() < 6.0
+    c = np.corrcoef(ours.ravel(), ref.ravel())[0, 1]
+    assert c > 0.99
+
+
+def test_clahe_improves_contrast():
+    rng = np.random.default_rng(1)
+    img = (rng.uniform(100, 140, size=(480, 752))).astype(np.float32)
+    out = np.asarray(im.clahe(jnp.asarray(img), clip_limit=3.0))
+    assert out.std() > img.std() * 1.5
+    assert out.min() >= 0 and out.max() <= 255.0
