@@ -1,0 +1,170 @@
+"""Multi-view geometry tests (reference: src/multi_view_geometry.cpp)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ov2slam_tpu.core import lie
+from ov2slam_tpu.ops import mvg
+
+def random_pose(RNG, tscale=1.0, wscale=0.5):
+    w = RNG.normal(size=3) * wscale
+    t = RNG.normal(size=3) * tscale
+    return lie.SE3(
+        lie.so3_exp(jnp.asarray(w, jnp.float32)), jnp.asarray(t, jnp.float32)
+    )
+
+
+def make_scene(RNG, n=100, depth=6.0, spread=3.0):
+    X = RNG.uniform(-spread, spread, size=(n, 3)).astype(np.float32)
+    X[:, 2] = depth + RNG.uniform(0, spread, size=n)
+    return X
+
+
+def bearings_of(X):
+    return X / np.linalg.norm(X, axis=-1, keepdims=True)
+
+
+def test_solve_quartic_vs_numpy():
+    RNG = np.random.default_rng(10)
+    for _ in range(50):
+        c = RNG.normal(size=5)
+        ours = np.asarray(
+            mvg._solve_quartic(*[jnp.asarray(x, jnp.float32) for x in c])
+        )
+        ref = np.roots(c)
+        # every reference root is close to one of ours
+        for rt in ref:
+            d = np.abs(ours - rt).min()
+            assert d < 5e-2 * max(1.0, abs(rt)), (c, ours, ref)
+
+
+def test_triangulate_midpoint_exact():
+    RNG = np.random.default_rng(11)
+    X = make_scene(RNG, 64)  # in frame a
+    T_ab = random_pose(RNG, tscale=0.5)  # pose of cam b in frame a
+    T_ba = lie.se3_inverse(T_ab)
+    Xb = np.asarray(lie.se3_apply(T_ba, jnp.asarray(X)))
+    bv_a = jnp.asarray(bearings_of(X))
+    bv_b = jnp.asarray(bearings_of(Xb))
+    out = np.asarray(mvg.triangulate_midpoint(T_ab, bv_a, bv_b))
+    np.testing.assert_allclose(out, X, atol=1e-3)
+
+
+def test_sampson_zero_for_inliers():
+    RNG = np.random.default_rng(12)
+    X = make_scene(RNG, 64)
+    T_ab = random_pose(RNG, tscale=0.8)
+    T_ba = lie.se3_inverse(T_ab)
+    Xb = np.asarray(lie.se3_apply(T_ba, jnp.asarray(X)))
+    E = mvg.essential_from_pose(T_ab)
+    d = np.asarray(mvg.sampson_dist(E, jnp.asarray(bearings_of(X)), jnp.asarray(bearings_of(Xb))))
+    assert np.abs(d).max() < 1e-6
+
+
+def test_essential_ransac_with_outliers():
+    RNG = np.random.default_rng(13)
+    X = make_scene(RNG, 200)
+    T_ab = random_pose(RNG, tscale=1.0, wscale=0.3)
+    T_ba = lie.se3_inverse(T_ab)
+    Xb = np.asarray(lie.se3_apply(T_ba, jnp.asarray(X)))
+    bv_a = bearings_of(X).astype(np.float32)
+    bv_b = bearings_of(Xb).astype(np.float32)
+    # corrupt 30% of b-bearings
+    n_out = 60
+    out_idx = RNG.choice(200, n_out, replace=False)
+    bv_b[out_idx] = bearings_of(make_scene(RNG, n_out))
+    # small pixel noise on inliers (~0.3 px at f=450)
+    bv_b += RNG.normal(0, 0.3 / 450.0, size=bv_b.shape).astype(np.float32)
+    bv_b /= np.linalg.norm(bv_b, axis=-1, keepdims=True)
+
+    res = mvg.essential_ransac(
+        jnp.asarray(bv_a), jnp.asarray(bv_b), jnp.ones(200, bool),
+        jax.random.PRNGKey(0), err_th=3.0 / 450.0, n_hyps=512)
+    inl = np.asarray(res.inliers)
+    is_out = np.zeros(200, bool)
+    is_out[out_idx] = True
+    # recall on true inliers, rejection of outliers
+    assert inl[~is_out].mean() > 0.85
+    assert inl[is_out].mean() < 0.15
+
+    # recovered relative pose direction matches ground truth
+    T_rec = mvg.decompose_essential(res.model, jnp.asarray(bv_a), jnp.asarray(bv_b), res.inliers)
+    t_gt = np.asarray(T_ab.t)
+    t_gt = t_gt / np.linalg.norm(t_gt)
+    t_rec = np.asarray(T_rec.t)
+    assert abs(np.dot(t_rec, t_gt)) > 0.99
+    dR = np.asarray(lie.so3_log(jnp.asarray(np.asarray(T_rec.R) @ np.asarray(T_ab.R).T)))
+    assert np.linalg.norm(dR) < 0.02
+
+
+def test_p3p_grunert_exact():
+    RNG = np.random.default_rng(14)
+    nfail = 0
+    for _ in range(50):
+        T_cw = random_pose(RNG, tscale=1.0, wscale=1.0)  # world-to-cam
+        X = make_scene(RNG, 3)
+        Xc = np.asarray(lie.se3_apply(T_cw, jnp.asarray(X)))
+        if (Xc[:, 2] <= 0.2).any():
+            continue
+        bv = jnp.asarray(bearings_of(Xc))
+        Ts, ok = mvg.p3p_grunert(jnp.asarray(X), bv)
+        ok = np.asarray(ok)
+        if not ok.any():
+            nfail += 1
+            continue
+        errs = []
+        for i in np.where(ok)[0]:
+            dR = np.linalg.norm(np.asarray(Ts.R[i]) - np.asarray(T_cw.R))
+            dtv = np.linalg.norm(np.asarray(Ts.t[i]) - np.asarray(T_cw.t))
+            errs.append(dR + dtv)
+        if min(errs) > 2e-2:
+            nfail += 1
+    assert nfail <= 2
+
+
+def test_p3p_ransac_with_outliers():
+    RNG = np.random.default_rng(15)
+    T_cw = random_pose(RNG, tscale=1.0, wscale=0.8)
+    # generate points in the CAMERA frame (all in front), map to world
+    Xc = make_scene(RNG, 150).astype(np.float32)
+    X = np.asarray(lie.se3_apply(lie.se3_inverse(T_cw), jnp.asarray(Xc))).astype(np.float32)
+    bv = bearings_of(Xc).astype(np.float32)
+    out_idx = RNG.choice(150, 45, replace=False)
+    bv[out_idx] = bearings_of(make_scene(RNG, 45)).astype(np.float32)
+    bv += RNG.normal(0, 0.3 / 450.0, size=bv.shape).astype(np.float32)
+    bv /= np.linalg.norm(bv, axis=-1, keepdims=True)
+
+    T_est, inl, n_in, okflag = mvg.p3p_ransac(
+        jnp.asarray(X), jnp.asarray(bv), jnp.ones(150, bool),
+        jax.random.PRNGKey(1), err_th_norm=3.0 / 450.0, n_hyps=512)
+    assert bool(okflag)
+    dR = np.linalg.norm(np.asarray(lie.so3_log(jnp.asarray(
+        np.asarray(T_est.R) @ np.asarray(T_cw.R).T))))
+    dtv = np.linalg.norm(np.asarray(T_est.t) - np.asarray(T_cw.t))
+    assert dR < 0.02
+    assert dtv < 0.1
+    is_out = np.zeros(150, bool)
+    is_out[out_idx] = True
+    inl = np.asarray(inl)
+    assert inl[~is_out].mean() > 0.8
+    assert inl[is_out].mean() < 0.15
+
+
+def test_fundamental_from_poses():
+    RNG = np.random.default_rng(16)
+    K = jnp.asarray(np.array([[450.0, 0, 376], [0, 450, 240], [0, 0, 1]], np.float32))
+    X = make_scene(RNG, 32)
+    T_ab = random_pose(RNG, tscale=0.3)
+    T_ba = lie.se3_inverse(T_ab)
+    Xb = np.asarray(lie.se3_apply(T_ba, jnp.asarray(X)))
+    px_a = np.asarray((K @ (X / X[:, 2:]).T).T)[:, :2]
+    px_b = np.asarray((K @ (Xb / Xb[:, 2:]).T).T)[:, :2]
+    F = np.asarray(mvg.fundamental_from_poses(K, K, T_ab))
+    ha = np.concatenate([px_a, np.ones((32, 1))], axis=1)
+    hb = np.concatenate([px_b, np.ones((32, 1))], axis=1)
+    resid = np.abs(np.einsum("ni,ij,nj->n", ha, F, hb))
+    # epipolar constraint holds (scale-free check against line norm)
+    lines = (F @ hb.T).T
+    d = resid / np.linalg.norm(lines[:, :2], axis=1)
+    assert d.max() < 0.1  # px
