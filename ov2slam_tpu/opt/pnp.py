@@ -1,0 +1,116 @@
+"""Motion-only PnP: Levenberg-Marquardt over one SE(3) pose with Huber IRLS.
+
+The device-side equivalent of the reference's ceresPnP (reference:
+src/multi_view_geometry.cpp:481-586): robust (Huber) solve, optional L2
+refinement, chi2-based outlier report. The whole solve — residuals, 6x6
+normal equations, LM damping loop — is one jitted device computation over all
+N observations at once (lax.while_loop, no host round trips).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ov2slam_tpu.core import lie
+from ov2slam_tpu.core.lie import SE3
+from ov2slam_tpu.opt import residuals as res
+from ov2slam_tpu.opt.residuals import Calib
+
+
+class PnPResult(NamedTuple):
+    T_cw: SE3
+    chi2: jnp.ndarray        # (N,) final squared pixel error per obs
+    inliers: jnp.ndarray     # (N,) bool — chi2 <= robust th^2 & depth > 0
+    n_inliers: jnp.ndarray
+    cost: jnp.ndarray        # final robust cost
+
+
+def _normal_eqs(calib, T, Xw, obs_px, w_valid, th2, robust):
+    r, J, pos = res.reproj_se3(calib, T, Xw, obs_px)
+    chi2 = jnp.sum(r * r, axis=-1)
+    sw = jnp.where(robust, res.huber_weight(chi2, th2), 1.0)
+    w = w_valid * sw
+    Jw = J * w[:, None, None]
+    rw = r * w[:, None]
+    H = jnp.einsum("nij,nik->jk", Jw, Jw)
+    g = jnp.einsum("nij,ni->j", Jw, rw)
+    # Huber cost: 0.5*chi2 if inlier else th*(|r| - th/2)
+    th = jnp.sqrt(th2)
+    rho = jnp.where(chi2 <= th2, chi2, 2.0 * th * jnp.sqrt(chi2) - th2)
+    cost = jnp.sum(jnp.where(robust, rho, chi2) * w_valid)
+    return H, g, cost, chi2, pos
+
+
+@functools.partial(jax.jit, static_argnames=("max_iters",))
+def pnp_lm(
+    calib: Calib,
+    T_init: SE3,
+    Xw: jnp.ndarray,         # (N, 3) world points
+    obs_px: jnp.ndarray,     # (N, 2) undistorted pixel observations
+    valid: jnp.ndarray,      # (N,) bool
+    robust_th2: float = 5.9915,
+    max_iters: int = 10,
+    robust: bool = True,
+) -> PnPResult:
+    """LM with diagonal damping; fixed max iteration budget (the reference
+    caps at 5 iters / 5 ms, multi_view_geometry.cpp:540-548 — we run 10 cheap
+    device iterations instead)."""
+    dt = Xw.dtype
+    w_valid = valid.astype(dt)
+    th2 = jnp.asarray(robust_th2, dt)
+    rob = jnp.asarray(robust)
+
+    H0, g0, cost0, _, _ = _normal_eqs(calib, T_init, Xw, obs_px, w_valid, th2, rob)
+    lam0 = jnp.asarray(1e-3, dt)
+
+    def cond(state):
+        it, _, _, _, done = state
+        return (it < max_iters) & ~done
+
+    def step(state):
+        it, T, lam, cost, _ = state
+        H, g, _, _, _ = _normal_eqs(calib, T, Xw, obs_px, w_valid, th2, rob)
+        Hd = H + lam * jnp.diag(jnp.diag(H)) + 1e-10 * jnp.eye(6, dtype=dt)
+        dx = -jnp.linalg.solve(Hd, g)
+        T_new = lie.se3_boxplus_left(T, dx)
+        _, _, cost_new, _, _ = _normal_eqs(calib, T_new, Xw, obs_px, w_valid, th2, rob)
+        better = cost_new < cost
+        T_out = SE3(
+            jnp.where(better, T_new.R, T.R), jnp.where(better, T_new.t, T.t)
+        )
+        lam_out = jnp.where(better, lam * 0.5, lam * 4.0)
+        cost_out = jnp.where(better, cost_new, cost)
+        small = jnp.sum(dx * dx) < 1e-12
+        return it + 1, T_out, jnp.clip(lam_out, 1e-8, 1e4), cost_out, small
+
+    _, T_fin, _, cost_fin, _ = jax.lax.while_loop(
+        cond, step, (jnp.asarray(0), T_init, lam0, cost0, jnp.asarray(False))
+    )
+
+    r, _, pos = res.reproj_se3(calib, T_fin, Xw, obs_px)
+    chi2 = jnp.sum(r * r, axis=-1)
+    inl = valid & (chi2 <= th2) & pos
+    return PnPResult(T_fin, chi2, inl, jnp.sum(inl), cost_fin)
+
+
+@functools.partial(jax.jit, static_argnames=("max_iters",))
+def pnp_robust_then_l2(
+    calib: Calib,
+    T_init: SE3,
+    Xw: jnp.ndarray,
+    obs_px: jnp.ndarray,
+    valid: jnp.ndarray,
+    robust_th2: float = 5.9915,
+    max_iters: int = 10,
+) -> PnPResult:
+    """The reference's two-stage scheme (apply_l2_after_robust,
+    multi_view_geometry.cpp:560-586): Huber solve, drop outliers, then an L2
+    polish on the surviving observations."""
+    r1 = pnp_lm(calib, T_init, Xw, obs_px, valid, robust_th2, max_iters, robust=True)
+    r2 = pnp_lm(calib, r1.T_cw, Xw, obs_px, r1.inliers, robust_th2,
+                max_iters, robust=False)
+    return r2
