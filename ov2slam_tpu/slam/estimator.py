@@ -1,0 +1,266 @@
+"""Back-end estimator: local bundle adjustment driver + keyframe culling.
+
+Replaces the reference's Estimator thread (reference: src/estimator.cpp) and
+the problem-construction half of Optimizer::localBA (src/optimizer.cpp:
+34-897): select the covisibility window around the newest keyframe, assemble
+a padded BAProblem from the host map store, run the device Schur-LM solver,
+write results back, sweep outlier observations, and cull bad landmarks /
+redundant keyframes.
+
+Capacities are fixed per SlamParams (ba_* knobs) so the jitted solver never
+recompiles; windows larger than capacity are truncated by covisibility score,
+exactly the spirit of the reference's nmin_covscore windowing.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from ov2slam_tpu.config import SlamParams
+from ov2slam_tpu.core.lie import SE3
+from ov2slam_tpu.opt import ba as ba_mod
+from ov2slam_tpu.opt.residuals import Calib
+from ov2slam_tpu.slam.map import MapStore
+
+# static problem capacities (per-config; defaults suit EuRoC-scale windows)
+BA_MAX_KFS = 24
+BA_MAX_LMS = 2048
+BA_MAX_OBS = 12288
+
+
+@dataclass
+class BAOutcome:
+    ran: bool = False
+    n_kfs: int = 0
+    n_lms: int = 0
+    n_obs: int = 0
+    n_outliers: int = 0
+    cost0: float = 0.0
+    cost: float = 0.0
+
+
+class Estimator:
+    def __init__(self, params: SlamParams, calib_l: Calib, calib_r: Calib,
+                 T_rl: SE3):
+        self.params = params
+        self.calib_l = calib_l
+        self.calib_r = calib_r
+        self.T_rl = T_rl
+
+    # ------------------------------------------------------------------
+    def build_problem(
+        self, m: MapStore, new_kfid: int,
+        max_kfs=BA_MAX_KFS, max_lms=BA_MAX_LMS, max_obs=BA_MAX_OBS,
+    ) -> Optional[Tuple[ba_mod.BAProblem, List[int], np.ndarray, Dict]]:
+        """Window selection mirroring optimizer.cpp:128-267: KFs with
+        covisibility score >= nmin_covscore are optimized, other observers of
+        window landmarks enter as constants; >=2 constant KFs fix the gauge."""
+        p = self.params
+        covis = m.covis.get(new_kfid, {})
+        ranked = sorted(covis.items(), key=lambda kv: -kv[1])
+        opt_kfs = [new_kfid] + [k for k, c in ranked if c >= p.nmin_covscore]
+        opt_kfs = opt_kfs[:max_kfs - 2]
+
+        # landmarks observed by the optimized window
+        lm_set: List[int] = []
+        seen = set()
+        for kfid in opt_kfs:
+            rec = m.keyframes.get(kfid)
+            if rec is None:
+                continue
+            for s in np.nonzero(rec.valid & rec.is3d & (rec.lmid >= 0))[0]:
+                lmid = int(rec.lmid[s])
+                if lmid not in seen and m.lm_valid[lmid] and m.lm_is3d[lmid]:
+                    seen.add(lmid)
+                    lm_set.append(lmid)
+        lm_set = lm_set[:max_lms]
+        lm_in = set(lm_set)
+        if len(lm_set) < 8:
+            return None
+
+        # constant KFs: any other observer of a window landmark (incl anchors)
+        const_kfs: List[int] = []
+        opt_set = set(opt_kfs)
+        for lmid in lm_set:
+            a = int(m.lm_anchor[lmid])
+            if a >= 0 and a not in opt_set and a in m.keyframes:
+                if a not in const_kfs:
+                    const_kfs.append(a)
+            for kfid in m.lm_obs.get(lmid, ()):
+                if kfid not in opt_set and kfid not in const_kfs and kfid in m.keyframes:
+                    const_kfs.append(kfid)
+        const_kfs = const_kfs[: max_kfs - len(opt_kfs)]
+        # gauge: ensure at least one constant KF (stereo; optimizer.cpp:396-407),
+        # else fix the oldest optimized one
+        if not const_kfs and len(opt_kfs) > 1:
+            const_kfs = [opt_kfs.pop()]  # lowest-covis KF becomes gauge
+
+        kf_list = opt_kfs + const_kfs
+        kf_slot = {kfid: i for i, kfid in enumerate(kf_list)}
+        F = max_kfs
+        L = max_lms
+        O = max_obs
+
+        R = np.tile(np.eye(3, dtype=np.float32), (F, 1, 1))
+        t = np.zeros((F, 3), np.float32)
+        pose_opt = np.zeros(F, bool)
+        for kfid, i in kf_slot.items():
+            T = m.keyframes[kfid].T_cw
+            R[i] = T[:3, :3]
+            t[i] = T[:3, 3]
+            pose_opt[i] = kfid in opt_set
+
+        lm_slot = {lmid: j for j, lmid in enumerate(lm_set)}
+        anchor = np.zeros(L, np.int32)
+        bearing = np.zeros((L, 3), np.float32)
+        bearing[:, 2] = 1.0
+        lam = np.ones(L, np.float32)
+        Xw = np.zeros((L, 3), np.float32)
+        lm_valid = np.zeros(L, bool)
+        drop_lms = []
+        for lmid, j in lm_slot.items():
+            a = int(m.lm_anchor[lmid])
+            if a not in kf_slot:
+                drop_lms.append(lmid)
+                continue
+            anchor[j] = kf_slot[a]
+            bearing[j] = m.lm_bearing[lmid]
+            lam[j] = m.lm_lam[lmid]
+            Xw[j] = m.lm_pos[lmid]
+            lm_valid[j] = True
+
+        # observations: every (kf in window) x (lm in window), skipping the
+        # anchor's own left-cam obs (zero residual by construction)
+        obs_kf = np.zeros(O, np.int32)
+        obs_lm = np.zeros(O, np.int32)
+        obs_px = np.zeros((O, 2), np.float32)
+        obs_right = np.zeros(O, bool)
+        obs_valid = np.zeros(O, bool)
+        obs_meta = []  # (kfid, lmid, kp_slot, is_right) for writeback
+        n = 0
+        for kfid in kf_list:
+            rec = m.keyframes[kfid]
+            slots = np.nonzero(rec.valid & rec.is3d & (rec.lmid >= 0))[0]
+            for s in slots:
+                lmid = int(rec.lmid[s])
+                j = lm_slot.get(lmid)
+                if j is None or not lm_valid[j]:
+                    continue
+                if n >= O - 1:
+                    break
+                if int(m.lm_anchor[lmid]) != kfid:
+                    obs_kf[n] = kf_slot[kfid]
+                    obs_lm[n] = j
+                    obs_px[n] = rec.unpx[s]
+                    obs_right[n] = False
+                    obs_valid[n] = True
+                    obs_meta.append((kfid, lmid, int(s), False))
+                    n += 1
+                if rec.has_right[s] and n < O - 1:
+                    # undistorted right obs: stored rpx is raw; mapper keeps
+                    # the undistorted right px in rpx already
+                    obs_kf[n] = kf_slot[kfid]
+                    obs_lm[n] = j
+                    obs_px[n] = rec.rpx[s]
+                    obs_right[n] = True
+                    obs_valid[n] = True
+                    obs_meta.append((kfid, lmid, int(s), True))
+                    n += 1
+        if n < 16:
+            return None
+
+        prob = ba_mod.BAProblem(
+            R=jnp.asarray(R), t=jnp.asarray(t), pose_opt=jnp.asarray(pose_opt),
+            Xw=jnp.asarray(Xw), anchor=jnp.asarray(anchor),
+            bearing=jnp.asarray(bearing), lam=jnp.asarray(lam),
+            lm_valid=jnp.asarray(lm_valid),
+            obs_kf=jnp.asarray(obs_kf), obs_lm=jnp.asarray(obs_lm),
+            obs_px=jnp.asarray(obs_px), obs_right=jnp.asarray(obs_right),
+            obs_valid=jnp.asarray(obs_valid),
+            calib_l=self.calib_l, calib_r=self.calib_r, T_rl=self.T_rl,
+        )
+        return prob, kf_list, np.asarray(lm_set, np.int64), {
+            "obs_meta": obs_meta, "n_obs": n, "pose_opt": pose_opt}
+
+    # ------------------------------------------------------------------
+    def local_ba(self, m: MapStore, new_kfid: int, max_iters: int = 5) -> BAOutcome:
+        built = self.build_problem(m, new_kfid)
+        out = BAOutcome()
+        if built is None:
+            return out
+        prob, kf_list, lm_ids, meta = built
+        p = self.params
+        result = ba_mod.solve_ba(
+            prob, invdepth=p.buse_inv_depth, max_iters=max_iters, robust=True,
+            th2_mono=p.robust_mono_th, th2_stereo=p.robust_stereo_th)
+
+        # ---- write back poses ----
+        R_np = np.asarray(result.R)
+        t_np = np.asarray(result.t)
+        for i, kfid in enumerate(kf_list):
+            if meta["pose_opt"][i]:
+                T = np.eye(4, dtype=np.float32)
+                T[:3, :3] = R_np[i]
+                T[:3, 3] = t_np[i]
+                m.keyframes[kfid].T_cw = T
+
+        # ---- write back landmarks ----
+        Xw_np = np.asarray(result.Xw)
+        lam_np = np.asarray(result.lam)
+        nL = len(lm_ids)
+        m.update_positions_from_ba(lm_ids, Xw_np[:nL], lam_np[:nL])
+
+        # ---- outlier sweep (optimizer.cpp:737-895): drop observations whose
+        # final chi2 failed; landmarks left with <2 observers are culled ----
+        inl = np.asarray(result.obs_inlier)
+        n_out = 0
+        for k, (kfid, lmid, s, is_right) in enumerate(meta["obs_meta"]):
+            if not inl[k]:
+                n_out += 1
+                if is_right:
+                    rec = m.keyframes.get(kfid)
+                    if rec is not None:
+                        mask = rec.lmid == lmid
+                        rec.has_right[mask] = False
+                else:
+                    m.remove_obs(lmid, kfid)
+        out.ran = True
+        out.n_kfs = len(kf_list)
+        out.n_lms = nL
+        out.n_obs = meta["n_obs"]
+        out.n_outliers = n_out
+        out.cost0 = float(result.cost0)
+        out.cost = float(result.cost)
+        return out
+
+    # ------------------------------------------------------------------
+    def map_filtering(self, m: MapStore, new_kfid: int) -> int:
+        """Redundant-KF culling (estimator.cpp:101-183): remove covisible KFs
+        whose 3D keypoints are >= fkf_filtering_ratio co-observed by >= 4 KFs."""
+        p = self.params
+        if p.fkf_filtering_ratio >= 1.0:
+            return 0
+        removed = 0
+        for kfid in list(m.covis.get(new_kfid, {})):
+            if kfid == 0 or kfid >= new_kfid - 2:
+                continue
+            rec = m.keyframes.get(kfid)
+            if rec is None:
+                continue
+            slots = np.nonzero(rec.valid & rec.is3d & (rec.lmid >= 0))[0]
+            if len(slots) == 0:
+                continue
+            n_cov = sum(
+                1 for s in slots
+                if len(m.lm_obs.get(int(rec.lmid[s]), ())) >= 4
+            )
+            if n_cov >= p.fkf_filtering_ratio * len(slots):
+                m.remove_keyframe(kfid)
+                removed += 1
+                if removed >= 1:      # at most one per wave, like the reference
+                    break
+        return removed

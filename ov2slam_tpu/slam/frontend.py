@@ -1,0 +1,209 @@
+"""Visual front end: frame-rate camera tracking.
+
+Replaces the reference's VisualFrontEnd (reference: src/visual_front_end.cpp):
+CLAHE + pyramid preprocessing, constant-velocity motion model, two-stage KLT
+(3D keypoints from projected priors at 1 pyramid level, the rest over the
+full pyramid), epipolar 2d-2d outlier filtering, motion-only PnP, and the
+keyframe-need heuristics.
+
+TPU-first: the entire tracking math — both KLT stages, the essential-matrix
+RANSAC and the PnP solve — is one jitted device function per frame
+(`track_frame`); only scalars (keypoint counts, parallax, pose) come back to
+the host, which runs the motion model and the KF decision.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import NamedTuple, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ov2slam_tpu.config import SlamParams
+from ov2slam_tpu.core import camera as cam_mod
+from ov2slam_tpu.core import lie
+from ov2slam_tpu.core.camera import Camera
+from ov2slam_tpu.core.lie import SE3
+from ov2slam_tpu.ops import image as im
+from ov2slam_tpu.ops import klt as klt_mod
+from ov2slam_tpu.ops import mvg
+from ov2slam_tpu.opt import pnp as pnp_mod
+from ov2slam_tpu.opt.residuals import Calib
+from ov2slam_tpu.slam import frame as frame_mod
+from ov2slam_tpu.slam.frame import FrameKps
+
+
+class TrackResult(NamedTuple):
+    kps: FrameKps
+    T_cw_R: jnp.ndarray
+    T_cw_t: jnp.ndarray
+    pose_ok: jnp.ndarray       # bool — enough PnP inliers
+    n_tracked: jnp.ndarray
+    n_3d: jnp.ndarray
+    n_inliers: jnp.ndarray
+    parallax_med: jnp.ndarray  # median rotation-compensated parallax (px)
+
+
+class MotionModel:
+    """Constant-velocity prior (reference: visual_front_end.hpp:38-90)."""
+
+    def __init__(self):
+        self.T_cw_prev: Optional[np.ndarray] = None   # (4, 4)
+        self.vel: Optional[np.ndarray] = None         # relative step (4, 4)
+        self.t_prev: float = 0.0
+
+    def predict(self, time: float) -> Optional[np.ndarray]:
+        if self.T_cw_prev is None:
+            return None
+        if self.vel is None:
+            return self.T_cw_prev
+        return self.vel @ self.T_cw_prev
+
+    def update(self, T_cw: np.ndarray, time: float):
+        if self.T_cw_prev is not None:
+            self.vel = T_cw @ np.linalg.inv(self.T_cw_prev)
+        self.T_cw_prev = T_cw.copy()
+        self.t_prev = time
+
+    def reset(self):
+        self.T_cw_prev = None
+        self.vel = None
+
+
+def calib_of(cam: Camera) -> Calib:
+    return Calib(cam.fx, cam.fy, cam.cx, cam.cy)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nklt_pyr_lvl", "nklt_win", "nmax_iter", "do_epipolar"),
+)
+def track_frame(
+    prev_pyr: Tuple[jnp.ndarray, ...],
+    cur_pyr: Tuple[jnp.ndarray, ...],
+    kps: FrameKps,
+    lm_pos: jnp.ndarray,       # (L, 3) landmark arena
+    lm_is3d: jnp.ndarray,      # (L,)
+    cam: Camera,
+    R_prior: jnp.ndarray,      # (3, 3) motion-model world-to-cam
+    t_prior: jnp.ndarray,      # (3,)
+    R_prev: jnp.ndarray,
+    t_prev: jnp.ndarray,
+    key: jnp.ndarray,
+    nklt_pyr_lvl: int = 3,
+    nklt_win: int = 9,
+    nmax_iter: int = 30,
+    fmax_px_precision: float = 0.01,
+    fmax_fbklt_dist: float = 0.5,
+    klt_err: float = 30.0,
+    do_epipolar: bool = True,
+    fransac_err: float = 3.0,
+    robust_th2: float = 5.9915,
+    min_pnp_inliers: int = 5,
+) -> TrackResult:
+    """One full tracking step (the device side of visualTracking/trackMono,
+    visual_front_end.cpp:40-128)."""
+    T_prior = SE3(R_prior, t_prior)
+    slot = jnp.clip(kps.lmid, 0, lm_pos.shape[0] - 1)
+    Xw = lm_pos[slot]
+    kp_is3d = kps.valid & kps.is3d & lm_is3d[slot] & (kps.lmid >= 0)
+
+    # ---- stage 1: 3D keypoints with projected priors, 1 pyramid level ----
+    proj = cam_mod.project_cam_to_image_dist(cam, lie.se3_apply(T_prior, Xw))
+    prior1 = jnp.where(kp_is3d[:, None], proj, kps.px)
+    prior1_ok = cam_mod.in_image(cam, prior1, border=nklt_win)
+    st1 = klt_mod.fb_klt_tracking(
+        prev_pyr[:2], cur_pyr[:2], kps.px, jnp.where(prior1_ok[:, None], prior1, kps.px),
+        kps.valid & kp_is3d, nlevels=1, win=nklt_win, max_iters=nmax_iter,
+        eps=fmax_px_precision, max_fb_dist=fmax_fbklt_dist, max_err=klt_err)
+
+    # ---- stage 2: the rest (plus stage-1 failures) over the full pyramid ----
+    stage2_mask = kps.valid & (~kp_is3d | ~st1.status)
+    st2 = klt_mod.fb_klt_tracking(
+        prev_pyr, cur_pyr, kps.px, kps.px,
+        stage2_mask, nlevels=nklt_pyr_lvl, win=nklt_win, max_iters=nmax_iter,
+        eps=fmax_px_precision, max_fb_dist=fmax_fbklt_dist, max_err=klt_err)
+
+    use1 = kp_is3d & st1.status
+    new_px = jnp.where(use1[:, None], st1.points, st2.points)
+    ok = use1 | (stage2_mask & st2.status)
+
+    prev_bv = kps.bv
+    kps2 = frame_mod.update_positions(kps, cam, new_px, ok)
+    n_tracked = jnp.sum(kps2.valid)
+
+    # ---- epipolar 2d-2d filter (visual_front_end.cpp:446-656) ----
+    if do_epipolar:
+        focal = 0.5 * (cam.fx + cam.fy)
+        eres = mvg.essential_ransac(
+            prev_bv, kps2.bv, kps2.valid, key,
+            err_th=fransac_err / focal, n_hyps=256)
+        enough = n_tracked >= 16
+        keep = jnp.where(enough & eres.success, eres.inliers, kps2.valid)
+        kps2 = kps2._replace(valid=kps2.valid & keep)
+
+    # ---- motion-only PnP on the 3D keypoints ----
+    kp3d = kps2.valid & kp_is3d
+    n_3d = jnp.sum(kp3d)
+    pnp = pnp_mod.pnp_robust_then_l2(
+        calib_of(cam), T_prior, Xw, kps2.unpx, kp3d, robust_th2=robust_th2)
+    pose_ok = pnp.n_inliers >= min_pnp_inliers
+    R_out = jnp.where(pose_ok, pnp.T_cw.R, R_prior)
+    t_out = jnp.where(pose_ok, pnp.T_cw.t, t_prior)
+
+    # drop PnP outliers among the 3D kps (reference removes them from the
+    # frame + MP obs, visual_front_end.cpp:806-831)
+    kps2 = kps2._replace(valid=kps2.valid & jnp.where(kp3d, pnp.inliers, True))
+
+    # ---- rotation-compensated median parallax (visual_front_end.cpp:1064) --
+    R_rel = R_out @ R_prev.T      # cur-from-prev rotation
+    bv_rot = jnp.einsum("ij,nj->ni", R_rel, prev_bv)
+    rot_px = cam_mod.project_cam_to_image(cam, bv_rot)
+    par = jnp.linalg.norm(kps2.unpx - rot_px, axis=-1)
+    par = jnp.where(kps2.valid, par, jnp.nan)
+    parallax_med = jnp.nanmedian(par)
+
+    return TrackResult(
+        kps=kps2, T_cw_R=R_out, T_cw_t=t_out, pose_ok=pose_ok,
+        n_tracked=n_tracked, n_3d=n_3d, n_inliers=pnp.n_inliers,
+        parallax_med=parallax_med)
+
+
+@functools.partial(jax.jit, static_argnames=("levels", "use_clahe"))
+def preprocess(img: jnp.ndarray, levels: int, use_clahe: bool, clahe_clip: float):
+    """CLAHE + optical-flow pyramid (visual_front_end.cpp:1143-1177)."""
+    img = img.astype(jnp.float32)
+    if use_clahe:
+        img = im.clahe(img, clip_limit=clahe_clip)
+    return tuple(im.build_pyramid(img, levels))
+
+
+def check_new_kf(
+    params: SlamParams,
+    n_tracked: int,
+    n_3d: int,
+    parallax_med: float,
+    frames_since_kf: int,
+    n_kps_at_kf: int,
+    pose_ok: bool,
+) -> bool:
+    """Keyframe-need heuristics (reference: checkNewKfReq,
+    visual_front_end.cpp:986-1061): occupancy drop, parallax, 3d-kp ratio."""
+    if frames_since_kf < 1:
+        return False
+    if not pose_ok:
+        return n_tracked > 10
+    nbmax = params.nbmaxkps
+    if n_tracked < 0.5 * nbmax and frames_since_kf >= 2:
+        return True
+    med = 0.0 if np.isnan(parallax_med) else parallax_med
+    if med > params.finit_parallax / 2.0:
+        return True
+    if n_3d < 0.85 * max(n_kps_at_kf, 1) and frames_since_kf >= 2:
+        return True
+    if n_tracked < 0.75 * n_kps_at_kf and frames_since_kf >= 2:
+        return True
+    return False

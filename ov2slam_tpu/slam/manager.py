@@ -1,0 +1,388 @@
+"""SlamSystem: the orchestrator wiring front end, mapper, estimator.
+
+Replaces the reference's SlamManager (reference: src/ov2slam.cpp:33-237):
+calibration setup, the per-frame loop (tracking -> KF decision -> keyframe
+processing -> local BA), reset, and results writing. The reference's
+4-thread mutex/queue pipeline becomes a single host control loop issuing
+async device work — JAX dispatch is asynchronous, so the tracking step of
+frame N overlaps the BA of keyframe M on device without explicit threads
+(pipeline parallelism via device streams; see SURVEY §2.3).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ov2slam_tpu.config import SlamParams
+from ov2slam_tpu.core import camera as cam_mod
+from ov2slam_tpu.core import lie
+from ov2slam_tpu.core.camera import Camera
+from ov2slam_tpu.core.lie import SE3
+from ov2slam_tpu.io.profiler import Profiler
+from ov2slam_tpu.io.trajectories import TrajectoryLogger
+from ov2slam_tpu.ops import detect as det_mod
+from ov2slam_tpu.opt.residuals import Calib
+from ov2slam_tpu.slam import frame as frame_mod
+from ov2slam_tpu.slam import frontend as fe_mod
+from ov2slam_tpu.slam import mapper as mapper_mod
+from ov2slam_tpu.slam.estimator import Estimator
+from ov2slam_tpu.slam.frame import FrameKps
+from ov2slam_tpu.slam.map import KeyframeRecord, MapStore
+
+
+def _T44(T: SE3) -> np.ndarray:
+    M = np.eye(4, dtype=np.float32)
+    M[:3, :3] = np.asarray(T.R)
+    M[:3, 3] = np.asarray(T.t)
+    return M
+
+
+class SlamSystem:
+    """Stereo (and later mono) SLAM pipeline."""
+
+    def __init__(self, params: SlamParams):
+        self.params = params
+        p = params
+
+        self.cam_l = Camera.make(
+            p.cam_left_model, p.fxl, p.fyl, p.cxl, p.cyl,
+            np.array([p.k1l, p.k2l, p.p1l, p.p2l], np.float32),
+            p.img_left_w, p.img_left_h)
+        self.cam_r = Camera.make(
+            p.cam_right_model, p.fxr, p.fyr, p.cxr, p.cyr,
+            np.array([p.k1r, p.k2r, p.p1r, p.p2r], np.float32),
+            p.img_right_w, p.img_right_h)
+        # T_left_right maps right-cam coords into left-cam coords
+        # (slam_params.cpp:86); we keep T_rl = right-from-left.
+        if p.T_left_right is not None:
+            T_lr = np.asarray(p.T_left_right, np.float32)
+            self.T_rl = lie.se3_inverse(
+                SE3(jnp.asarray(T_lr[:3, :3]), jnp.asarray(T_lr[:3, 3])))
+        else:
+            self.T_rl = SE3.identity()
+
+        self.kp_cap = p.kp_cap
+        self.map = MapStore(p.lm_capacity)
+        self.estimator = Estimator(
+            p, fe_mod.calib_of(self.cam_l), fe_mod.calib_of(self.cam_r), self.T_rl)
+        self.logger = TrajectoryLogger()
+        self.prof = Profiler.instance()
+        self.prof.enabled = p.log_timings
+
+        self.reset()
+
+    # ------------------------------------------------------------------
+    def reset(self):
+        """Full pipeline reset (reference: SlamManager::reset,
+        ov2slam.cpp:427-454)."""
+        p = self.params
+        self.kps = FrameKps.empty(self.kp_cap)
+        self.map = MapStore(p.lm_capacity)
+        self.estimator = Estimator(
+            p, fe_mod.calib_of(self.cam_l), fe_mod.calib_of(self.cam_r), self.T_rl)
+        self.motion = fe_mod.MotionModel()
+        self.prev_pyr = None
+        self.T_cw = np.eye(4, dtype=np.float32)
+        self.initialized = False
+        self.frame_id = -1
+        self.frames_since_kf = 0
+        self.n_kps_at_kf = 0
+        self.cur_kfid = -1
+        self.detector_quality = p.dmaxquality
+        self.median_depth = 5.0
+        self._key = jax.random.PRNGKey(0)
+
+    def _next_key(self):
+        self._key, k = jax.random.split(self._key)
+        return k
+
+    # ------------------------------------------------------------------
+    def process_stereo(self, iml: np.ndarray, imr: np.ndarray, time: float
+                       ) -> np.ndarray:
+        """One stereo frame in, camera-to-world pose out (the per-frame body
+        of SlamManager::run, ov2slam.cpp:116-237)."""
+        p = self.params
+        self.frame_id += 1
+        with self.prof.scope("0.Full-Front_End"):
+            cur_pyr = fe_mod.preprocess(
+                jnp.asarray(iml), p.nklt_pyr_lvl, p.use_clahe, p.fclahe_val)
+
+            if not self.initialized:
+                self._initialize_stereo(iml, imr, cur_pyr, time)
+                self.prev_pyr = cur_pyr
+                T_wkf = None
+                if self.cur_kfid in self.map.keyframes:
+                    T_wkf = np.linalg.inv(self.map.keyframes[self.cur_kfid].T_cw)
+                self.logger.add(time, self.T_wc(), True, self.cur_kfid, T_wkf)
+                return self.T_wc()
+
+            # ---- tracking ----
+            T_prior = self.motion.predict(time)
+            if T_prior is None:
+                T_prior = self.T_cw
+            lm_pos, lm_is3d = self.map.device_landmarks()
+            with self.prof.scope("1.FE_Track"):
+                res = fe_mod.track_frame(
+                    self.prev_pyr, cur_pyr, self.kps, lm_pos, lm_is3d,
+                    self.cam_l,
+                    jnp.asarray(T_prior[:3, :3]), jnp.asarray(T_prior[:3, 3]),
+                    jnp.asarray(self.T_cw[:3, :3]), jnp.asarray(self.T_cw[:3, 3]),
+                    self._next_key(),
+                    nklt_pyr_lvl=p.nklt_pyr_lvl, nklt_win=p.nklt_win_size,
+                    nmax_iter=p.nmax_iter,
+                    fmax_px_precision=p.fmax_px_precision,
+                    fmax_fbklt_dist=p.fmax_fbklt_dist, klt_err=p.nklt_err,
+                    do_epipolar=p.doepipolar, fransac_err=p.fransac_err,
+                    robust_th2=p.robust_mono_th)
+            self.kps = res.kps
+            pose_ok = bool(res.pose_ok)
+            if pose_ok:
+                T = np.eye(4, dtype=np.float32)
+                T[:3, :3] = np.asarray(res.T_cw_R)
+                T[:3, 3] = np.asarray(res.T_cw_t)
+                self.T_cw = T
+            self.motion.update(self.T_cw, time)
+
+            n_tracked = int(res.n_tracked)
+            need_kf = fe_mod.check_new_kf(
+                p, n_tracked, int(res.n_3d), float(res.parallax_med),
+                self.frames_since_kf, self.n_kps_at_kf, pose_ok)
+
+            # tracking-loss reset (visual_front_end.cpp:100-102)
+            if n_tracked < 6 and self.map.n_3d() > 0 and self.frames_since_kf > 3:
+                need_kf = True
+
+        if need_kf:
+            with self.prof.scope("1.KF_Processing"):
+                self._create_keyframe(iml, imr, cur_pyr, time)
+        else:
+            self.frames_since_kf += 1
+
+        T_wkf = None
+        if self.cur_kfid in self.map.keyframes:
+            T_wkf = np.linalg.inv(self.map.keyframes[self.cur_kfid].T_cw)
+        self.logger.add(time, self.T_wc(), need_kf, self.cur_kfid, T_wkf)
+        self.prev_pyr = cur_pyr
+        return self.T_wc()
+
+    def T_wc(self) -> np.ndarray:
+        return np.linalg.inv(self.T_cw.astype(np.float64)).astype(np.float32)
+
+    # ------------------------------------------------------------------
+    def _initialize_stereo(self, iml, imr, cur_pyr, time):
+        """First keyframe: detect + stereo triangulate (the stereo init path;
+        the reference marks bvision_init_ once kps are triangulated)."""
+        self._create_keyframe(iml, imr, cur_pyr, time, run_ba=False)
+        if self.map.n_3d() > 20:
+            self.initialized = True
+        self.motion.update(self.T_cw, time)
+
+    # ------------------------------------------------------------------
+    def _create_keyframe(self, iml, imr, cur_pyr, time, run_ba=True):
+        p = self.params
+        kfid = self.map.next_kf_id
+        self.cur_kfid = kfid
+
+        img_l = cur_pyr[0]
+
+        # ---- detect new keypoints in free cells ----
+        with self.prof.scope("2.KF_Detect"):
+            det = mapper_mod.detect_keypoints(
+                img_l, self.kps, p.nmaxdist, jnp.asarray(self.detector_quality))
+            det_valid = np.asarray(det.valid)
+            det_pts = np.asarray(det.points)
+            n_free_slots = int(self.kp_cap - int(np.asarray(self.kps.valid).sum()))
+            order = np.argsort(-np.asarray(det.scores))
+            accept = np.zeros_like(det_valid)
+            budget = min(n_free_slots, int(det_valid.sum()))
+            taken = 0
+            for i in order:
+                if taken >= budget:
+                    break
+                if det_valid[i]:
+                    accept[i] = True
+                    taken += 1
+            # adaptive quality state (feature_extractor.cpp:421-426)
+            n_cells = det_valid.shape[0]
+            occupied = int(np.asarray(self.kps.valid).sum())
+            self.detector_quality = det_mod.adaptive_quality_update(
+                self.detector_quality, int(det_valid.sum()),
+                max(n_cells - occupied, 1))
+
+            if taken > 0:
+                new_lmids = np.full(n_cells, -1, np.int32)
+                ids = self.map.alloc_landmarks(taken)
+                new_lmids[accept] = ids
+                self.kps = frame_mod.insert_keypoints(
+                    self.kps, self.cam_l, jnp.asarray(det_pts),
+                    jnp.asarray(accept), jnp.asarray(new_lmids))
+
+        # ---- describe ----
+        with self.prof.scope("2.KF_Describe"):
+            desc, desc_ok = mapper_mod.describe_frame(jnp.asarray(iml), self.kps)
+            desc_np = np.asarray(desc)
+            desc_ok_np = np.asarray(desc_ok)
+
+        # ---- stereo matching + triangulation ----
+        with self.prof.scope("2.KF_Stereo"):
+            right_pyr = fe_mod.preprocess(
+                jnp.asarray(imr), p.nklt_pyr_lvl, p.use_clahe, p.fclahe_val)
+            lm_pos, lm_is3d = self.map.device_landmarks()
+            sm = mapper_mod.stereo_match(
+                cur_pyr, right_pyr, self.kps, lm_pos, lm_is3d,
+                self.cam_l, self.cam_r,
+                jnp.asarray(self.T_cw[:3, :3]), jnp.asarray(self.T_cw[:3, 3]),
+                self.T_rl.R, self.T_rl.t,
+                jnp.asarray(self.median_depth, jnp.float32),
+                nlevels=p.nklt_pyr_lvl, win=p.nklt_win_size,
+                max_iters=p.nmax_iter, fb_dist=p.fmax_fbklt_dist,
+                klt_err=p.nklt_err, epi_th_px=p.fepi_th)
+            tri = mapper_mod.triangulate_stereo(
+                self.kps, sm.rpx, sm.ok, self.cam_r,
+                jnp.asarray(self.T_cw[:3, :3]), jnp.asarray(self.T_cw[:3, 3]),
+                self.T_rl.R, self.T_rl.t)
+
+            tri_ok = np.asarray(tri.ok)
+            Xw_np = np.asarray(tri.Xw)
+            depth_np = np.asarray(tri.depth)
+            kp_lmid = np.asarray(self.kps.lmid)
+            kp_valid = np.asarray(self.kps.valid)
+            kp_is3d = np.asarray(self.kps.is3d)
+            kp_bv = np.asarray(self.kps.bv)
+
+            # only triangulate kps that are not yet 3D (the reference keeps
+            # existing landmark positions; BA refines them)
+            newly = tri_ok & kp_valid & ~kp_is3d & (kp_lmid >= 0)
+            if newly.any():
+                ids = kp_lmid[newly]
+                bearings = kp_bv[newly] / np.maximum(kp_bv[newly][:, 2:], 1e-9)
+                self.map.set_positions(
+                    ids, Xw_np[newly], anchor_kf=kfid, bearings=bearings,
+                    lams=1.0 / np.maximum(depth_np[newly], 1e-6))
+                self.kps = self.kps._replace(
+                    is3d=self.kps.valid & (self.kps.is3d | jnp.asarray(newly)))
+            good_d = depth_np[tri_ok & kp_valid]
+            if len(good_d) > 5:
+                self.median_depth = float(np.median(good_d))
+
+            # stereo observation bookkeeping: store UNDISTORTED right px for BA
+            unrpx = np.asarray(cam_mod.undistort_px(self.cam_r, sm.rpx))
+            has_right = np.asarray(sm.ok) & kp_valid
+            self.kps = self.kps._replace(
+                rpx=jnp.asarray(np.where(has_right[:, None], unrpx, 0.0).astype(np.float32)),
+                has_right=jnp.asarray(has_right))
+
+        # ---- temporal triangulation of leftover 2D kps ----
+        with self.prof.scope("2.KF_TemporalTri"):
+            self._temporal_triangulation(kfid)
+
+        # ---- record keyframe ----
+        kp = self.kps
+        rec = KeyframeRecord(
+            kfid=kfid, time=time, T_cw=self.T_cw.copy(),
+            px=np.asarray(kp.px).copy(), unpx=np.asarray(kp.unpx).copy(),
+            bv=np.asarray(kp.bv).copy(), lmid=np.asarray(kp.lmid).copy(),
+            valid=np.asarray(kp.valid).copy(), is3d=np.asarray(kp.is3d).copy(),
+            rpx=np.asarray(kp.rpx).copy(),
+            has_right=np.asarray(kp.has_right).copy(),
+            desc=desc_np, desc_ok=desc_ok_np)
+        self.map.add_keyframe(rec)
+        for s in np.nonzero(rec.valid & desc_ok_np & (rec.lmid >= 0))[0]:
+            self.map.add_descriptor(int(rec.lmid[s]), desc_np[s])
+
+        # ---- local BA + filtering (Estimator thread, estimator.cpp) ----
+        if run_ba and p.slam_mode and len(self.map.keyframes) >= 2:
+            with self.prof.scope("1.BA_localBA"):
+                self.estimator.local_ba(self.map, kfid)
+                # propagate optimized pose of this KF to the live frame
+                self.T_cw = self.map.keyframes[kfid].T_cw.copy()
+                self._refresh_kp_3d_flags()
+            with self.prof.scope("1.BA_MapFiltering"):
+                self.estimator.map_filtering(self.map, kfid)
+
+        self.frames_since_kf = 0
+        self.n_kps_at_kf = int(np.asarray(self.kps.valid).sum())
+
+    # ------------------------------------------------------------------
+    def _refresh_kp_3d_flags(self):
+        """After BA outlier removal some landmarks may be gone; sync the live
+        frame's flags."""
+        lmid = np.asarray(self.kps.lmid)
+        ok = np.asarray(self.kps.valid)
+        sl = np.clip(lmid, 0, self.map.cap - 1)
+        alive = self.map.lm_valid[sl] & (lmid >= 0)
+        self.kps = self.kps._replace(
+            valid=jnp.asarray(ok & alive),
+            is3d=jnp.asarray(ok & alive & self.map.lm_is3d[sl]))
+
+    # ------------------------------------------------------------------
+    def _temporal_triangulation(self, cur_kfid: int):
+        """Assemble per-kp anchor data on host, triangulate on device
+        (Mapper::triangulateTemporal, mapper.cpp:191-344)."""
+        p = self.params
+        kp_lmid = np.asarray(self.kps.lmid)
+        kp_valid = np.asarray(self.kps.valid)
+        kp_is3d = np.asarray(self.kps.is3d)
+        K = self.kp_cap
+        anc_R = np.tile(np.eye(3, dtype=np.float32), (K, 1, 1))
+        anc_t = np.zeros((K, 3), np.float32)
+        anc_bv = np.zeros((K, 3), np.float32)
+        anc_bv[:, 2] = 1.0
+        anc_ok = np.zeros(K, bool)
+        for s in np.nonzero(kp_valid & ~kp_is3d & (kp_lmid >= 0))[0]:
+            lmid = int(kp_lmid[s])
+            obs = self.map.lm_obs.get(lmid)
+            if not obs:
+                continue
+            first_kf = min(obs)
+            rec = self.map.keyframes.get(first_kf)
+            if rec is None or first_kf == cur_kfid:
+                continue
+            slot = rec.kp_slot_of(lmid)
+            if slot < 0:
+                continue
+            anc_R[s] = rec.T_cw[:3, :3]
+            anc_t[s] = rec.T_cw[:3, 3]
+            b = rec.bv[slot]
+            anc_bv[s] = b / max(b[2], 1e-9)
+            anc_ok[s] = True
+        if not anc_ok.any():
+            return
+        tri = mapper_mod.triangulate_temporal(
+            self.kps,
+            jnp.asarray(self.T_cw[:3, :3]), jnp.asarray(self.T_cw[:3, 3]),
+            jnp.asarray(anc_R), jnp.asarray(anc_t), jnp.asarray(anc_bv),
+            jnp.asarray(anc_ok), self.cam_l,
+            max_reproj_px=p.fmax_reproj_err)
+        ok = np.asarray(tri.ok) & kp_valid & ~kp_is3d
+        if not ok.any():
+            return
+        Xw = np.asarray(tri.Xw)
+        for s in np.nonzero(ok)[0]:
+            lmid = int(kp_lmid[s])
+            first_kf = min(self.map.lm_obs[lmid])
+            rec = self.map.keyframes[first_kf]
+            slot = rec.kp_slot_of(lmid)
+            b = rec.bv[slot]
+            self.map.set_positions(
+                np.asarray([lmid]), Xw[s][None],
+                anchor_kf=first_kf,
+                bearings=(b / max(b[2], 1e-9))[None],
+                lams=np.asarray([1.0 / max(float(tri.depth_anchor[s]), 1e-6)]))
+            rec.is3d[slot] = True
+        self.kps = self.kps._replace(
+            is3d=self.kps.is3d | jnp.asarray(ok))
+
+    # ------------------------------------------------------------------
+    def write_results(self, out_dir: str = "."):
+        """Trajectory outputs with reference-compatible names
+        (SlamManager::writeResults, ov2slam.cpp:574-621)."""
+        import os
+        self.logger.write_tum(os.path.join(out_dir, "ov2slam_traj.txt"))
+        self.logger.write_kitti(os.path.join(out_dir, "ov2slam_traj_kitti.txt"))
+        self.logger.write_tum(os.path.join(out_dir, "ov2slam_kfs_traj.txt"), kf_only=True)

@@ -1,0 +1,232 @@
+"""Map store: landmarks + keyframes + covisibility.
+
+Replaces the reference's MapManager + MapPoint + keyframe side of Frame
+(reference: src/map_manager.cpp, src/map_point.cpp, include/map_point.hpp).
+
+Split of responsibilities (SURVEY §7 design stance):
+* identity management, observation bookkeeping, covisibility counting, and
+  keyframe records live on the HOST (python dicts / numpy — mutation-heavy,
+  pointer-chasing work the reference does under map_mutex_);
+* landmark geometry lives in fixed-capacity DEVICE arenas (pos/invdepth/
+  anchor/flags) so jitted tracking & BA gather it directly by slot id;
+  landmark id == arena slot (with free-list recycling).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Set
+
+import numpy as np
+import jax.numpy as jnp
+
+
+@dataclass
+class KeyframeRecord:
+    """Host snapshot of a keyframe (reference: deep-copied Frame,
+    map_manager.cpp:621-633)."""
+
+    kfid: int
+    time: float
+    T_cw: np.ndarray          # (4, 4)
+    # keypoint table snapshot (numpy copies of FrameKps)
+    px: np.ndarray
+    unpx: np.ndarray
+    bv: np.ndarray
+    lmid: np.ndarray
+    valid: np.ndarray
+    is3d: np.ndarray
+    rpx: np.ndarray
+    has_right: np.ndarray
+    desc: np.ndarray          # (K, 8) uint32 BRIEF
+    desc_ok: np.ndarray       # (K,) bool
+
+    def kp_slot_of(self, lmid: int) -> int:
+        hits = np.nonzero((self.lmid == lmid) & self.valid)[0]
+        return int(hits[0]) if len(hits) else -1
+
+
+class MapStore:
+    """Host map with device landmark arenas."""
+
+    def __init__(self, lm_capacity: int = 1 << 16, dtype=np.float32):
+        self.cap = lm_capacity
+        # landmark arenas (host numpy; device mirrors pushed on demand)
+        self.lm_pos = np.zeros((lm_capacity, 3), dtype)
+        self.lm_lam = np.ones((lm_capacity,), dtype)        # inverse depth
+        self.lm_anchor = np.full((lm_capacity,), -1, np.int32)
+        self.lm_bearing = np.zeros((lm_capacity, 3), dtype) # anchor-frame, z=1
+        self.lm_valid = np.zeros((lm_capacity,), bool)
+        self.lm_is3d = np.zeros((lm_capacity,), bool)
+        self.lm_desc = np.zeros((lm_capacity, 8), np.uint32)
+        self.lm_desc_ok = np.zeros((lm_capacity,), bool)
+        # observation bookkeeping: lmid -> {kfid}
+        self.lm_obs: Dict[int, Set[int]] = {}
+        self._free: List[int] = list(range(lm_capacity - 1, -1, -1))
+        # keyframes
+        self.keyframes: Dict[int, KeyframeRecord] = {}
+        # covisibility: kfid -> {kfid: shared-3d-landmark count}
+        self.covis: Dict[int, Dict[int, int]] = {}
+        self.next_kf_id = 0
+        self._device_dirty = True
+        self._dev_pos = None
+        self._dev_is3d = None
+
+    # ------------------------------------------------------------------
+    # landmarks
+    # ------------------------------------------------------------------
+
+    def alloc_landmarks(self, n: int) -> np.ndarray:
+        ids = np.asarray([self._free.pop() for _ in range(n)], np.int32)
+        for i in ids:
+            self.lm_obs[int(i)] = set()
+        self.lm_valid[ids] = True
+        self.lm_is3d[ids] = False
+        self.lm_desc_ok[ids] = False
+        self._device_dirty = True
+        return ids
+
+    def remove_landmark(self, lmid: int):
+        if not self.lm_valid[lmid]:
+            return
+        for kfid in self.lm_obs.get(lmid, ()):  # drop from KF tables
+            kf = self.keyframes.get(kfid)
+            if kf is not None:
+                m = kf.lmid == lmid
+                kf.valid[m] = False
+        self._covis_remove_lm(lmid)
+        self.lm_valid[lmid] = False
+        self.lm_is3d[lmid] = False
+        self.lm_obs.pop(lmid, None)
+        self._free.append(int(lmid))
+        self._device_dirty = True
+
+    def set_positions(self, lmids: np.ndarray, pos: np.ndarray,
+                      anchor_kf: Optional[int] = None,
+                      bearings: Optional[np.ndarray] = None,
+                      lams: Optional[np.ndarray] = None):
+        """Mark landmarks as triangulated (is3d) with world positions."""
+        self.lm_pos[lmids] = pos
+        self.lm_is3d[lmids] = True
+        if anchor_kf is not None:
+            self.lm_anchor[lmids] = anchor_kf
+        if bearings is not None:
+            self.lm_bearing[lmids] = bearings
+        if lams is not None:
+            self.lm_lam[lmids] = lams
+        self._device_dirty = True
+
+    def update_positions_from_ba(self, lmids, pos, lams):
+        self.lm_pos[lmids] = pos
+        self.lm_lam[lmids] = lams
+        self._device_dirty = True
+
+    def add_descriptor(self, lmid: int, desc: np.ndarray):
+        """Keep the first/most recent descriptor (the reference maintains a
+        median-distance 'most representative' descriptor, map_point.cpp:
+        164-213; we keep latest-wins for now)."""
+        self.lm_desc[lmid] = desc
+        self.lm_desc_ok[lmid] = True
+
+    # ------------------------------------------------------------------
+    # device mirrors
+    # ------------------------------------------------------------------
+
+    def device_landmarks(self):
+        """(pos (L,3), is3d (L,)) as device arrays, cached until mutation."""
+        if self._device_dirty or self._dev_pos is None:
+            self._dev_pos = jnp.asarray(self.lm_pos)
+            self._dev_is3d = jnp.asarray(self.lm_is3d & self.lm_valid)
+            self._device_dirty = False
+        return self._dev_pos, self._dev_is3d
+
+    # ------------------------------------------------------------------
+    # keyframes + covisibility
+    # ------------------------------------------------------------------
+
+    def add_keyframe(self, rec: KeyframeRecord):
+        self.keyframes[rec.kfid] = rec
+        self.covis.setdefault(rec.kfid, {})
+        self.next_kf_id = max(self.next_kf_id, rec.kfid + 1)
+        # register observations
+        for slot in np.nonzero(rec.valid & (rec.lmid >= 0))[0]:
+            lmid = int(rec.lmid[slot])
+            if lmid in self.lm_obs:
+                self.lm_obs[lmid].add(rec.kfid)
+        self.update_covisibility(rec.kfid)
+
+    def remove_keyframe(self, kfid: int):
+        """KF culling (reference: map_manager.cpp:885-1051): keep landmark
+        and covisibility structures consistent."""
+        rec = self.keyframes.pop(kfid, None)
+        if rec is None:
+            return
+        for lmid, obs in list(self.lm_obs.items()):
+            obs.discard(kfid)
+            if not obs and self.lm_valid[lmid]:
+                self.remove_landmark(lmid)
+            elif self.lm_anchor[lmid] == kfid and obs:
+                # re-anchor to the oldest remaining observer
+                self._reanchor(lmid, min(obs))
+        for other in self.covis.pop(kfid, {}):
+            self.covis.get(other, {}).pop(kfid, None)
+
+    def _reanchor(self, lmid: int, new_kf: int):
+        kf = self.keyframes.get(new_kf)
+        if kf is None or not self.lm_is3d[lmid]:
+            self.lm_anchor[lmid] = new_kf
+            return
+        slot = kf.kp_slot_of(lmid)
+        T = kf.T_cw
+        Xc = T[:3, :3] @ self.lm_pos[lmid] + T[:3, 3]
+        z = max(float(Xc[2]), 1e-6)
+        self.lm_anchor[lmid] = new_kf
+        self.lm_lam[lmid] = 1.0 / z
+        self.lm_bearing[lmid] = Xc / z
+        self._device_dirty = True
+
+    def remove_obs(self, lmid: int, kfid: int):
+        obs = self.lm_obs.get(lmid)
+        if obs is None:
+            return
+        obs.discard(kfid)
+        kf = self.keyframes.get(kfid)
+        if kf is not None:
+            m = kf.lmid == lmid
+            kf.valid[m] = False
+        if not obs:
+            self.remove_landmark(lmid)
+
+    def update_covisibility(self, kfid: int):
+        """Recount shared 3D landmarks between kfid and all co-observers
+        (reference: map_manager.cpp:117-193)."""
+        rec = self.keyframes[kfid]
+        counts: Dict[int, int] = {}
+        for slot in np.nonzero(rec.valid & rec.is3d & (rec.lmid >= 0))[0]:
+            lmid = int(rec.lmid[slot])
+            for other in self.lm_obs.get(lmid, ()):
+                if other != kfid:
+                    counts[other] = counts.get(other, 0) + 1
+        self.covis[kfid] = counts
+        for other, c in counts.items():
+            self.covis.setdefault(other, {})[kfid] = c
+
+    def _covis_remove_lm(self, lmid: int):
+        obs = list(self.lm_obs.get(lmid, ()))
+        for i, a in enumerate(obs):
+            for b in obs[i + 1:]:
+                for x, y in ((a, b), (b, a)):
+                    d = self.covis.get(x)
+                    if d and y in d:
+                        d[y] = max(0, d[y] - 1)
+
+    def covisible_kfs(self, kfid: int, min_score: int = 0) -> List[int]:
+        d = self.covis.get(kfid, {})
+        return sorted([k for k, c in d.items() if c > min_score],
+                      key=lambda k: -d[k])
+
+    def n_landmarks(self) -> int:
+        return int(self.lm_valid.sum())
+
+    def n_3d(self) -> int:
+        return int((self.lm_valid & self.lm_is3d).sum())

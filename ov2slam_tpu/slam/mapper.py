@@ -1,0 +1,206 @@
+"""Keyframe-rate mapping: detection, description, stereo matching,
+triangulation.
+
+Replaces the reference's Mapper + the detection/stereo side of MapManager
+(reference: src/mapper.cpp, src/map_manager.cpp:286-611): on each keyframe —
+detect new keypoints in free grid cells, BRIEF-describe everything, KLT-match
+left->right with depth-based priors + epipolar gating, triangulate stereo
+matches, and temporally triangulate leftover 2D keypoints against their
+first-observing keyframe.
+
+All compute is batched device code; the host only assembles anchor data and
+commits results into the map store.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ov2slam_tpu.core import camera as cam_mod
+from ov2slam_tpu.core import lie
+from ov2slam_tpu.core.camera import Camera
+from ov2slam_tpu.core.lie import SE3
+from ov2slam_tpu.ops import detect as det_mod
+from ov2slam_tpu.ops import describe as desc_mod
+from ov2slam_tpu.ops import klt as klt_mod
+from ov2slam_tpu.ops import mvg
+from ov2slam_tpu.slam.frame import FrameKps
+
+
+class StereoMatchResult(NamedTuple):
+    rpx: jnp.ndarray        # (K, 2) right-image positions
+    ok: jnp.ndarray         # (K,) bool — tracked + epipolar-consistent
+    disp: jnp.ndarray       # (K,) disparity proxy (left.x - right.x)
+
+
+@functools.partial(jax.jit, static_argnames=("cellsize",))
+def detect_keypoints(
+    img: jnp.ndarray,
+    kps: FrameKps,
+    cellsize: int,
+    quality_th: jnp.ndarray,
+) -> det_mod.GridDetection:
+    """Grid detection masked by current keypoints (MapManager::
+    extractKeypoints, map_manager.cpp:286-341)."""
+    resp = det_mod.min_eig_response(img)
+    return det_mod.grid_select(resp, kps.px, kps.valid, cellsize, quality_th)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nlevels", "win", "max_iters"))
+def stereo_match(
+    left_pyr: Tuple[jnp.ndarray, ...],
+    right_pyr: Tuple[jnp.ndarray, ...],
+    kps: FrameKps,
+    lm_pos: jnp.ndarray,
+    lm_is3d: jnp.ndarray,
+    cam_l: Camera,
+    cam_r: Camera,
+    R_cw: jnp.ndarray,
+    t_cw: jnp.ndarray,
+    R_rl: jnp.ndarray,
+    t_rl: jnp.ndarray,
+    depth_prior: jnp.ndarray,     # scalar — median scene depth for 2D kps
+    nlevels: int = 3,
+    win: int = 9,
+    max_iters: int = 30,
+    fb_dist: float = 0.5,
+    klt_err: float = 30.0,
+    epi_th_px: float = 2.0,
+) -> StereoMatchResult:
+    """Left->right KLT with depth-based priors + epipolar gate
+    (MapManager::stereoMatching, map_manager.cpp:367-611 — the reference
+    seeds from SAD line search / 3D projection; we seed from landmark depth
+    or the median scene depth, then run the same fb-KLT + epipolar check)."""
+    T_rl = SE3(R_rl, t_rl)
+    T_cw = SE3(R_cw, t_cw)
+
+    # prior: project each keypoint's 3D ray at its (known or guessed) depth
+    slot = jnp.clip(kps.lmid, 0, lm_pos.shape[0] - 1)
+    kp3d = kps.valid & kps.is3d & lm_is3d[slot]
+    Xw = lm_pos[slot]
+    Xl_3d = lie.se3_apply(T_cw, Xw)
+    Xl_guess = kps.bv * (depth_prior / jnp.maximum(kps.bv[:, 2], 1e-6))[:, None]
+    Xl = jnp.where(kp3d[:, None], Xl_3d, Xl_guess)
+    prior = cam_mod.project_cam_to_image_dist(cam_r, lie.se3_apply(T_rl, Xl))
+    prior_ok = cam_mod.in_image(cam_r, prior, border=win)
+    prior = jnp.where(prior_ok[:, None], prior, kps.px)
+
+    res = klt_mod.fb_klt_tracking(
+        left_pyr, right_pyr, kps.px, prior, kps.valid,
+        nlevels=nlevels, win=win, max_iters=max_iters,
+        eps=0.01, max_fb_dist=fb_dist, max_err=klt_err)
+
+    # epipolar consistency under the known extrinsics
+    unpx_r = cam_mod.undistort_px(cam_r, res.points)
+    bv_r = cam_mod.bearing_from_undist_px(cam_r, unpx_r)
+    E_lr = mvg.essential_from_pose(lie.se3_inverse(T_rl))  # b_l^T E b_r = 0
+    focal = 0.5 * (cam_l.fx + cam_l.fy)
+    epi = mvg.epipolar_line_dist(E_lr, kps.bv, bv_r) * focal
+    ok = res.status & (epi < epi_th_px) & cam_mod.in_image(cam_r, res.points)
+    disp = kps.px[:, 0] - res.points[:, 0]
+    return StereoMatchResult(rpx=res.points, ok=ok, disp=disp)
+
+
+class StereoTriResult(NamedTuple):
+    Xw: jnp.ndarray         # (K, 3) world positions
+    depth: jnp.ndarray      # (K,) left-cam depth
+    ok: jnp.ndarray         # (K,)
+
+
+@jax.jit
+def triangulate_stereo(
+    kps: FrameKps,
+    rpx: jnp.ndarray,
+    match_ok: jnp.ndarray,
+    cam_r: Camera,
+    R_cw: jnp.ndarray,
+    t_cw: jnp.ndarray,
+    R_rl: jnp.ndarray,
+    t_rl: jnp.ndarray,
+    max_depth: float = 200.0,
+    min_depth: float = 0.05,
+) -> StereoTriResult:
+    """Stereo triangulation (Mapper::triangulateStereo, mapper.cpp:346-461):
+    midpoint triangulation of left/right bearings, chirality + range gates,
+    output in world frame."""
+    T_rl = SE3(R_rl, t_rl)
+    T_lr = lie.se3_inverse(T_rl)
+    T_wc = lie.se3_inverse(SE3(R_cw, t_cw))
+    unpx_r = cam_mod.undistort_px(cam_r, rpx)
+    bv_r = cam_mod.bearing_from_undist_px(cam_r, unpx_r)
+    Xl = mvg.triangulate_midpoint(T_lr, kps.bv, bv_r)
+    depth = Xl[:, 2]
+    Xr = lie.se3_apply(T_rl, Xl)
+    ok = match_ok & (depth > min_depth) & (depth < max_depth) & (Xr[:, 2] > 0)
+    Xw = lie.se3_apply(T_wc, Xl)
+    return StereoTriResult(Xw=Xw, depth=depth, ok=ok)
+
+
+class TemporalTriResult(NamedTuple):
+    Xw: jnp.ndarray
+    depth_anchor: jnp.ndarray
+    ok: jnp.ndarray
+
+
+@jax.jit
+def triangulate_temporal(
+    kps: FrameKps,
+    R_cw: jnp.ndarray, t_cw: jnp.ndarray,          # current KF world-to-cam
+    anc_R_cw: jnp.ndarray, anc_t_cw: jnp.ndarray,  # (K, 3, 3), (K, 3) per-kp anchor poses
+    anc_bv: jnp.ndarray,                           # (K, 3) bearing at anchor
+    anc_ok: jnp.ndarray,                           # (K,) has valid anchor data
+    cam: Camera,
+    min_parallax_px: float = 10.0,
+    max_reproj_px: float = 3.0,
+    max_depth: float = 200.0,
+) -> TemporalTriResult:
+    """Two-view temporal triangulation against the first observing keyframe
+    (Mapper::triangulateTemporal, mapper.cpp:191-344): parallax, chirality
+    and reprojection gates."""
+    T_cur = SE3(R_cw, t_cw)
+    T_anc = SE3(anc_R_cw, anc_t_cw)
+    # anchor-to-current transform per keypoint
+    T_ca = lie.se3_compose(T_cur, lie.se3_inverse(T_anc))   # batched
+    # triangulate in anchor frame: rays anc_bv (anchor), kps.bv (current)
+    T_ac = lie.se3_inverse(T_ca)
+
+    def tri_one(Tac_R, Tac_t, b_a, b_c):
+        return mvg.triangulate_midpoint(SE3(Tac_R, Tac_t), b_a, b_c)
+
+    Xa = jax.vmap(tri_one)(T_ac.R, T_ac.t, anc_bv, kps.bv)  # (K, 3) anchor frame
+    depth_a = Xa[:, 2]
+    Xc = lie.se3_apply(T_ca, Xa)
+    depth_c = Xc[:, 2]
+
+    # rotation-compensated parallax: where would the anchor bearing land with
+    # pure rotation
+    focal = 0.5 * (cam.fx + cam.fy)
+    b_rot = jnp.einsum("nij,nj->ni", T_ca.R, anc_bv)
+    rot_px = cam_mod.project_cam_to_image(cam, b_rot)
+    parallax = jnp.linalg.norm(kps.unpx - rot_px, axis=-1)
+
+    # reprojection error in the current frame
+    reproj = cam_mod.project_cam_to_image(cam, Xc)
+    err = jnp.linalg.norm(reproj - kps.unpx, axis=-1)
+
+    ok = (
+        anc_ok & kps.valid
+        & (parallax > min_parallax_px)
+        & (depth_a > 0.05) & (depth_c > 0.05)
+        & (depth_a < max_depth)
+        & (err < max_reproj_px)
+    )
+    T_wa = lie.se3_inverse(T_anc)
+    Xw = lie.se3_apply(T_wa, Xa)
+    return TemporalTriResult(Xw=Xw, depth_anchor=depth_a, ok=ok)
+
+
+def describe_frame(img: jnp.ndarray, kps: FrameKps):
+    """BRIEF for every valid keypoint (map_manager.cpp:286-341)."""
+    return desc_mod.describe_brief(img, kps.px, kps.valid)

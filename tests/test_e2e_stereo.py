@@ -1,0 +1,65 @@
+"""End-to-end stereo VO on a rendered synthetic sequence: the milestone-8
+integration test of SURVEY §7 (reader -> pyramid -> KLT -> PnP -> KF ->
+stereo triangulation -> local BA -> TUM trajectory)."""
+
+import numpy as np
+import pytest
+
+from ov2slam_tpu.config import SlamParams
+from ov2slam_tpu.io.trajectories import ate_rmse
+from ov2slam_tpu.slam.manager import SlamSystem
+
+import synthetic as syn
+
+
+@pytest.fixture(scope="module")
+def sequence():
+    return syn.render_sequence(n_frames=40, step=0.05)
+
+
+def test_stereo_vo_tracks_sequence(sequence, tmp_path):
+    frames_l, frames_r, poses_gt = sequence
+    params = SlamParams.from_dict(syn.slam_params_dict())
+    slam = SlamSystem(params)
+
+    est = []
+    for i, (il, ir) in enumerate(zip(frames_l, frames_r)):
+        T_wc = slam.process_stereo(il, ir, time=i * 0.05)
+        est.append(T_wc.copy())
+
+    assert slam.initialized
+    assert len(slam.map.keyframes) >= 2
+    assert slam.map.n_3d() > 50
+
+    est_t = np.stack([T[:3, 3] for T in est])
+    gt_t = np.stack([T[:3, 3] for T in poses_gt])
+
+    # translation scale must be metric (stereo baseline): total path length
+    path_est = np.linalg.norm(np.diff(est_t, axis=0), axis=1).sum()
+    path_gt = np.linalg.norm(np.diff(gt_t, axis=0), axis=1).sum()
+    assert abs(path_est - path_gt) / path_gt < 0.15
+
+    err = ate_rmse(est_t, gt_t)
+    assert err < 0.05, f"ATE {err:.4f} m too high"
+
+    # trajectory outputs (reference-format files)
+    slam.write_results(str(tmp_path))
+    tum = np.loadtxt(tmp_path / "ov2slam_traj.txt")
+    assert tum.shape == (len(frames_l), 8)
+    kitti = np.loadtxt(tmp_path / "ov2slam_traj_kitti.txt")
+    assert kitti.shape == (len(frames_l), 12)
+
+
+def test_stereo_vo_keyframes_have_stereo_obs(sequence):
+    frames_l, frames_r, poses_gt = sequence
+    params = SlamParams.from_dict(syn.slam_params_dict())
+    slam = SlamSystem(params)
+    for i in range(10):
+        slam.process_stereo(frames_l[i], frames_r[i], time=i * 0.05)
+    any_right = any(
+        rec.has_right.any() for rec in slam.map.keyframes.values())
+    assert any_right
+    # covisibility graph connects consecutive keyframes
+    kfs = sorted(slam.map.keyframes)
+    if len(kfs) >= 2:
+        assert slam.map.covis[kfs[-1]].get(kfs[-2], 0) > 0
