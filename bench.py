@@ -1,0 +1,77 @@
+"""Benchmark: stereo SLAM tracking throughput on one chip.
+
+Runs the full pipeline (tracking every frame + keyframe processing + local BA)
+over a rendered synthetic stereo sequence at EuRoC resolution (752x480,
+EuRoC-like intrinsics/baseline) and reports steady-state frames/sec.
+
+Baseline anchor: the reference runs EuRoC "at the camera's frame-rate"
+(20 Hz) on CPU with frame dropping to enforce real time (README.md:21-22,
+ov2slam.cpp:291-298); BASELINE.json's north star is >= 2x real time per chip.
+vs_baseline = fps / 20.
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def render_sequence(n_frames):
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
+    import synthetic as syn
+    return syn.render_sequence(n_frames=n_frames, step=0.03, yaw_rate=0.0015)
+
+
+def main():
+    n_frames = int(os.environ.get("BENCH_FRAMES", "120"))
+    frames_l, frames_r, poses_gt = render_sequence(n_frames)
+
+    from ov2slam_tpu.config import SlamParams
+    from ov2slam_tpu.slam.manager import SlamSystem
+    from ov2slam_tpu.io.trajectories import ate_rmse
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
+    import synthetic as syn
+
+    params = SlamParams.from_dict(syn.slam_params_dict())
+    slam = SlamSystem(params)
+
+    # warmup: first frames trigger all jit compiles (tracking, detection,
+    # stereo, BA). Run a prefix, then reset and time the full sequence.
+    n_warm = min(12, n_frames // 2)
+    for i in range(n_warm):
+        slam.process_stereo(frames_l[i], frames_r[i], time=i * 0.05)
+    slam.reset()
+    slam.logger.reset()
+
+    t0 = time.perf_counter()
+    for i in range(n_frames):
+        slam.process_stereo(frames_l[i], frames_r[i], time=i * 0.05)
+    dt = time.perf_counter() - t0
+    fps = n_frames / dt
+
+    est_t = np.stack([T[:3, 3] for T in
+                      [np.asarray(p) for p in slam.logger.poses_wc]])
+    gt_t = np.stack([T[:3, 3] for T in poses_gt])
+    err = ate_rmse(est_t, gt_t) if len(est_t) == len(gt_t) else float("nan")
+
+    print(json.dumps({
+        "metric": "synthetic_stereo_slam_fps_752x480",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 20.0, 3),
+        "extra": {
+            "n_frames": n_frames,
+            "ate_rmse_m": round(err, 5),
+            "n_keyframes": len(slam.map.keyframes),
+            "n_landmarks_3d": slam.map.n_3d(),
+            "backend": str(__import__("jax").devices()[0]),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -38,6 +38,7 @@ def _track_level(
     max_iters: int,
     eps: float,
     min_eig_th: float,
+    prev_grad: Tuple[jnp.ndarray, jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One pyramid level of LK. Returns (new_pts, ok, err)."""
     H, W = prev_img.shape
@@ -45,7 +46,10 @@ def _track_level(
 
     # template patches + gradients at prev_pts (fixed for all iterations)
     tmpl = im.sample_patches(prev_img, prev_pts, win)          # (N, P)
-    ix_img, iy_img = im.scharr_gradients(prev_img)
+    if prev_grad is None:
+        ix_img, iy_img = im.scharr_gradients(prev_img)
+    else:
+        ix_img, iy_img = prev_grad
     gx = im.sample_patches(ix_img, prev_pts, win)              # (N, P)
     gy = im.sample_patches(iy_img, prev_pts, win)
 
@@ -108,8 +112,12 @@ def pyr_klt(
     max_iters: int = 30,
     eps: float = 0.01,
     min_eig_th: float = 1e-4,
+    prev_grad_pyr: List[Tuple[jnp.ndarray, jnp.ndarray]] = None,
 ) -> KLTResult:
-    """Pyramidal LK from coarse to fine using `nlevels`+1 pyramid images."""
+    """Pyramidal LK from coarse to fine using `nlevels`+1 pyramid images.
+
+    prev_grad_pyr optionally supplies precomputed Scharr gradient pyramids of
+    the template frame (computed once per frame instead of once per call)."""
     scale = 2.0 ** nlevels
     guess = init_pts / scale
     ok = valid
@@ -117,8 +125,10 @@ def pyr_klt(
     for lvl in range(nlevels, -1, -1):
         s = 2.0 ** lvl
         pl = prev_pts / s
+        pg = None if prev_grad_pyr is None else prev_grad_pyr[lvl]
         guess, ok_l, err = _track_level(
-            prev_pyr[lvl], next_pyr[lvl], pl, guess, valid, win, max_iters, eps, min_eig_th
+            prev_pyr[lvl], next_pyr[lvl], pl, guess, valid, win, max_iters,
+            eps, min_eig_th, prev_grad=pg
         )
         ok = ok_l if lvl == nlevels else ok & ok_l
         if lvl > 0:
@@ -143,24 +153,27 @@ def fb_klt_tracking(
     max_fb_dist: float = 0.5,
     max_err: float = 30.0,
     min_eig_th: float = 1e-4,
+    prev_grad_pyr=None,
+    next_grad_pyr=None,
 ) -> KLTResult:
     """Forward-backward KLT with error + FB-distance gating — the whole of the
     reference's fbKltTracking (feature_tracker.cpp:35-137) as one device call.
 
     prior_pts seeds the forward track (motion-model / projection priors,
     OPTFLOW_USE_INITIAL_FLOW in the reference); the backward track is seeded
-    at the forward result and must return to prev_pts within max_fb_dist.
+    at the original positions and must return there within max_fb_dist.
     """
     prev_pyr = list(prev_pyr)
     next_pyr = list(next_pyr)
     fwd = pyr_klt(prev_pyr, next_pyr, prev_pts, prior_pts, valid,
-                  nlevels, win, max_iters, eps, min_eig_th)
+                  nlevels, win, max_iters, eps, min_eig_th, prev_grad_pyr)
     good = fwd.status & (fwd.error < max_err)
     # backward pass: level 0 only, seeded at the original positions (the
     # reference's backward call uses maxLevel=0 + OPTFLOW_USE_INITIAL_FLOW
     # with the original kps as the initial guess, feature_tracker.cpp:113-117)
+    ngp = None if next_grad_pyr is None else next_grad_pyr[:1]
     bwd = pyr_klt(next_pyr[:1], prev_pyr[:1], fwd.points, prev_pts, good,
-                  0, win, max_iters, eps, min_eig_th)
+                  0, win, max_iters, eps, min_eig_th, ngp)
     fb_dist = jnp.linalg.norm(bwd.points - prev_pts, axis=-1)
     ok = good & bwd.status & (fb_dist <= max_fb_dist)
     return KLTResult(points=fwd.points, status=ok, error=fwd.error)

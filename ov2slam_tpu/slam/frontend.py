@@ -103,6 +103,8 @@ def track_frame(
     fransac_err: float = 3.0,
     robust_th2: float = 5.9915,
     min_pnp_inliers: int = 5,
+    prev_gpyr=None,
+    cur_gpyr=None,
 ) -> TrackResult:
     """One full tracking step (the device side of visualTracking/trackMono,
     visual_front_end.cpp:40-128)."""
@@ -115,17 +117,21 @@ def track_frame(
     proj = cam_mod.project_cam_to_image_dist(cam, lie.se3_apply(T_prior, Xw))
     prior1 = jnp.where(kp_is3d[:, None], proj, kps.px)
     prior1_ok = cam_mod.in_image(cam, prior1, border=nklt_win)
+    pg2 = None if prev_gpyr is None else prev_gpyr[:2]
+    cg2 = None if cur_gpyr is None else cur_gpyr[:2]
     st1 = klt_mod.fb_klt_tracking(
         prev_pyr[:2], cur_pyr[:2], kps.px, jnp.where(prior1_ok[:, None], prior1, kps.px),
         kps.valid & kp_is3d, nlevels=1, win=nklt_win, max_iters=nmax_iter,
-        eps=fmax_px_precision, max_fb_dist=fmax_fbklt_dist, max_err=klt_err)
+        eps=fmax_px_precision, max_fb_dist=fmax_fbklt_dist, max_err=klt_err,
+        prev_grad_pyr=pg2, next_grad_pyr=cg2)
 
     # ---- stage 2: the rest (plus stage-1 failures) over the full pyramid ----
     stage2_mask = kps.valid & (~kp_is3d | ~st1.status)
     st2 = klt_mod.fb_klt_tracking(
         prev_pyr, cur_pyr, kps.px, kps.px,
         stage2_mask, nlevels=nklt_pyr_lvl, win=nklt_win, max_iters=nmax_iter,
-        eps=fmax_px_precision, max_fb_dist=fmax_fbklt_dist, max_err=klt_err)
+        eps=fmax_px_precision, max_fb_dist=fmax_fbklt_dist, max_err=klt_err,
+        prev_grad_pyr=prev_gpyr, next_grad_pyr=cur_gpyr)
 
     use1 = kp_is3d & st1.status
     new_px = jnp.where(use1[:, None], st1.points, st2.points)
@@ -138,25 +144,60 @@ def track_frame(
     # ---- epipolar 2d-2d filter (visual_front_end.cpp:446-656) ----
     if do_epipolar:
         focal = 0.5 * (cam.fx + cam.fy)
+        # rotation-compensated parallax gate: with little parallax the
+        # essential matrix is degenerate (pure rotation) and RANSAC inlier
+        # classification is destructive — the reference skips the filter
+        # below 2*fransac_err px (visual_front_end.cpp:530-537)
+        R_rel_prior = R_prior @ R_prev.T
+        bv_rot_p = jnp.einsum("ij,nj->ni", R_rel_prior, prev_bv)
+        rot_px_p = cam_mod.project_cam_to_image(cam, bv_rot_p)
+        par_p = jnp.linalg.norm(kps2.unpx - rot_px_p, axis=-1)
+        avg_par = jnp.sum(jnp.where(kps2.valid, par_p, 0.0)) / jnp.maximum(
+            jnp.sum(kps2.valid), 1)
         eres = mvg.essential_ransac(
             prev_bv, kps2.bv, kps2.valid, key,
             err_th=fransac_err / focal, n_hyps=256)
-        enough = n_tracked >= 16
-        keep = jnp.where(enough & eres.success, eres.inliers, kps2.valid)
+        # never let a degenerate model kill most of the tracks
+        keep_ratio = jnp.sum(eres.inliers) / jnp.maximum(jnp.sum(kps2.valid), 1)
+        apply = (
+            (n_tracked >= 16) & eres.success
+            & (avg_par > 2.0 * fransac_err) & (keep_ratio > 0.5)
+        )
+        keep = jnp.where(apply, eres.inliers, kps2.valid)
         kps2 = kps2._replace(valid=kps2.valid & keep)
 
     # ---- motion-only PnP on the 3D keypoints ----
+    # Multi-start: the reprojection cost can be multi-modal (near-planar
+    # point subsets create spurious minima ~cm away), so solve from both the
+    # velocity-extrapolated prior and the previous pose and keep the better
+    # solution (more inliers, then lower cost). Both solves fuse into the
+    # same jitted step — the second start is nearly free on device.
     kp3d = kps2.valid & kp_is3d
     n_3d = jnp.sum(kp3d)
-    pnp = pnp_mod.pnp_robust_then_l2(
-        calib_of(cam), T_prior, Xw, kps2.unpx, kp3d, robust_th2=robust_th2)
+    cal = calib_of(cam)
+    pnp_a = pnp_mod.pnp_robust_then_l2(
+        cal, T_prior, Xw, kps2.unpx, kp3d, robust_th2=robust_th2)
+    pnp_b = pnp_mod.pnp_robust_then_l2(
+        cal, SE3(R_prev, t_prev), Xw, kps2.unpx, kp3d, robust_th2=robust_th2)
+    a_better = (pnp_a.n_inliers > pnp_b.n_inliers) | (
+        (pnp_a.n_inliers == pnp_b.n_inliers) & (pnp_a.cost <= pnp_b.cost))
+    pnp = pnp_mod.PnPResult(
+        T_cw=SE3(jnp.where(a_better, pnp_a.T_cw.R, pnp_b.T_cw.R),
+                 jnp.where(a_better, pnp_a.T_cw.t, pnp_b.T_cw.t)),
+        chi2=jnp.where(a_better, pnp_a.chi2, pnp_b.chi2),
+        inliers=jnp.where(a_better, pnp_a.inliers, pnp_b.inliers),
+        n_inliers=jnp.where(a_better, pnp_a.n_inliers, pnp_b.n_inliers),
+        cost=jnp.where(a_better, pnp_a.cost, pnp_b.cost))
     pose_ok = pnp.n_inliers >= min_pnp_inliers
     R_out = jnp.where(pose_ok, pnp.T_cw.R, R_prior)
     t_out = jnp.where(pose_ok, pnp.T_cw.t, t_prior)
 
-    # drop PnP outliers among the 3D kps (reference removes them from the
-    # frame + MP obs, visual_front_end.cpp:806-831)
-    kps2 = kps2._replace(valid=kps2.valid & jnp.where(kp3d, pnp.inliers, True))
+    # drop PnP outliers among the 3D kps — only when the solve succeeded
+    # (reference removes them from the frame + MP obs after a valid pose,
+    # visual_front_end.cpp:806-831; on failure it keeps the frame intact and
+    # requests a reset instead)
+    kps2 = kps2._replace(
+        valid=kps2.valid & jnp.where(pose_ok & kp3d, pnp.inliers, True))
 
     # ---- rotation-compensated median parallax (visual_front_end.cpp:1064) --
     R_rel = R_out @ R_prev.T      # cur-from-prev rotation
@@ -207,3 +248,125 @@ def check_new_kf(
     if n_tracked < 0.75 * n_kps_at_kf and frames_since_kf >= 2:
         return True
     return False
+
+
+# ---------------------------------------------------------------------------
+# Fused per-frame step with device-resident state
+# ---------------------------------------------------------------------------
+#
+# The tunneled-TPU environment has ~30 ms latency per blocking host<->device
+# round trip, so the per-frame path is ONE jitted call: uint8 image in,
+# preprocessed pyramids + Scharr gradient pyramids computed once and carried
+# in device state, motion model evaluated on device, and a single packed
+# stats vector out (fetched with copy_to_host_async so the round trip hides
+# behind the next dispatch).
+
+class FEState(NamedTuple):
+    pyr: Tuple[jnp.ndarray, ...]       # previous frame pyramid
+    gx: Tuple[jnp.ndarray, ...]        # Scharr gradient pyramids of prev
+    gy: Tuple[jnp.ndarray, ...]
+    kps: FrameKps
+    R_cw: jnp.ndarray                  # (3, 3) current pose
+    t_cw: jnp.ndarray                  # (3,)
+    R_vel: jnp.ndarray                 # constant-velocity relative step
+    t_vel: jnp.ndarray
+    has_vel: jnp.ndarray               # bool
+    key: jnp.ndarray
+
+
+def init_fe_state(img_u8: np.ndarray, kp_cap: int, levels: int,
+                  use_clahe: bool, clahe_clip: float, seed: int = 0) -> FEState:
+    pyr = preprocess(jnp.asarray(img_u8), levels, use_clahe, clahe_clip)
+    gx, gy = _grad_pyrs(pyr)
+    return FEState(
+        pyr=pyr, gx=gx, gy=gy,
+        kps=FrameKps.empty(kp_cap),
+        R_cw=jnp.eye(3, dtype=jnp.float32),
+        t_cw=jnp.zeros(3, jnp.float32),
+        R_vel=jnp.eye(3, dtype=jnp.float32),
+        t_vel=jnp.zeros(3, jnp.float32),
+        has_vel=jnp.asarray(False),
+        key=jax.random.PRNGKey(seed),
+    )
+
+
+def _grad_pyrs(pyr):
+    gx, gy = [], []
+    for lvl in pyr:
+        a, b = im.scharr_gradients(lvl)
+        gx.append(a)
+        gy.append(b)
+    return tuple(gx), tuple(gy)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("levels", "use_clahe", "nklt_win", "nmax_iter",
+                     "do_epipolar"),
+    donate_argnums=(0,),
+)
+def frame_step(
+    state: FEState,
+    img_u8: jnp.ndarray,
+    lm_pos: jnp.ndarray,
+    lm_is3d: jnp.ndarray,
+    cam: Camera,
+    levels: int = 3,
+    use_clahe: bool = True,
+    clahe_clip: float = 3.0,
+    nklt_win: int = 9,
+    nmax_iter: int = 30,
+    fmax_px_precision: float = 0.01,
+    fmax_fbklt_dist: float = 0.5,
+    klt_err: float = 30.0,
+    do_epipolar: bool = True,
+    fransac_err: float = 3.0,
+    robust_th2: float = 5.9915,
+):
+    """One frame: preprocess + motion model + track + pose + stats.
+
+    Returns (new_state, stats) where stats is a packed (12,) f32 vector:
+    [pose_ok, n_tracked, n_3d, n_inliers, parallax_med, tx, ty, tz,
+     qx, qy, qz, qw] — the full pose rides along so the host never has to
+    fetch anything else at frame rate.
+    """
+    cur_pyr = preprocess(img_u8, levels, use_clahe, clahe_clip)
+    cur_gx, cur_gy = _grad_pyrs(cur_pyr)
+
+    # motion model on device: T_prior = vel ∘ T_prev (constant velocity)
+    T_prev = SE3(state.R_cw, state.t_cw)
+    T_pred = lie.se3_compose(SE3(state.R_vel, state.t_vel), T_prev)
+    R_prior = jnp.where(state.has_vel, T_pred.R, T_prev.R)
+    t_prior = jnp.where(state.has_vel, T_pred.t, T_prev.t)
+
+    key, sub = jax.random.split(state.key)
+    res = track_frame(
+        state.pyr, cur_pyr, state.kps, lm_pos, lm_is3d, cam,
+        R_prior, t_prior, state.R_cw, state.t_cw, sub,
+        nklt_pyr_lvl=levels, nklt_win=nklt_win, nmax_iter=nmax_iter,
+        fmax_px_precision=fmax_px_precision,
+        fmax_fbklt_dist=fmax_fbklt_dist, klt_err=klt_err,
+        do_epipolar=do_epipolar, fransac_err=fransac_err,
+        robust_th2=robust_th2,
+        prev_gpyr=tuple(zip(state.gx, state.gy)),
+        cur_gpyr=tuple(zip(cur_gx, cur_gy)))
+
+    # velocity update: vel = T_new ∘ T_prev^-1
+    T_new = SE3(res.T_cw_R, res.T_cw_t)
+    vel = lie.se3_compose(T_new, lie.se3_inverse(T_prev))
+
+    new_state = FEState(
+        pyr=cur_pyr, gx=cur_gx, gy=cur_gy, kps=res.kps,
+        R_cw=res.T_cw_R, t_cw=res.T_cw_t,
+        R_vel=vel.R, t_vel=vel.t, has_vel=jnp.asarray(True),
+        key=key)
+    stats = jnp.concatenate([
+        jnp.stack([
+            res.pose_ok.astype(jnp.float32),
+            res.n_tracked.astype(jnp.float32),
+            res.n_3d.astype(jnp.float32),
+            res.n_inliers.astype(jnp.float32),
+            res.parallax_med.astype(jnp.float32)]),
+        res.T_cw_t,
+        lie.quat_from_mat(res.T_cw_R)])
+    return new_state, stats

@@ -2,16 +2,18 @@
 
 Replaces the reference's SlamManager (reference: src/ov2slam.cpp:33-237):
 calibration setup, the per-frame loop (tracking -> KF decision -> keyframe
-processing -> local BA), reset, and results writing. The reference's
-4-thread mutex/queue pipeline becomes a single host control loop issuing
-async device work — JAX dispatch is asynchronous, so the tracking step of
-frame N overlaps the BA of keyframe M on device without explicit threads
-(pipeline parallelism via device streams; see SURVEY §2.3).
+processing -> local BA), reset, and results writing.
+
+The reference's 4-thread mutex/queue pipeline becomes a host control loop
+issuing ONE fused device call per frame (frontend.frame_step) against
+device-resident state. The environment's host<->device link has ~30 ms
+latency per blocking round trip, so the design rule is: at frame rate, one
+dispatch + one small async-copied stats vector; everything else (keyframe
+processing, BA, registry bookkeeping) happens at keyframe rate.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
 from typing import Optional
 
 import numpy as np
@@ -26,7 +28,6 @@ from ov2slam_tpu.core.lie import SE3
 from ov2slam_tpu.io.profiler import Profiler
 from ov2slam_tpu.io.trajectories import TrajectoryLogger
 from ov2slam_tpu.ops import detect as det_mod
-from ov2slam_tpu.opt.residuals import Calib
 from ov2slam_tpu.slam import frame as frame_mod
 from ov2slam_tpu.slam import frontend as fe_mod
 from ov2slam_tpu.slam import mapper as mapper_mod
@@ -35,11 +36,13 @@ from ov2slam_tpu.slam.frame import FrameKps
 from ov2slam_tpu.slam.map import KeyframeRecord, MapStore
 
 
-def _T44(T: SE3) -> np.ndarray:
-    M = np.eye(4, dtype=np.float32)
-    M[:3, :3] = np.asarray(T.R)
-    M[:3, 3] = np.asarray(T.t)
-    return M
+def _mat_from_quat_np(q: np.ndarray) -> np.ndarray:
+    x, y, z, w = q
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ], np.float32)
 
 
 class SlamSystem:
@@ -67,13 +70,9 @@ class SlamSystem:
             self.T_rl = SE3.identity()
 
         self.kp_cap = p.kp_cap
-        self.map = MapStore(p.lm_capacity)
-        self.estimator = Estimator(
-            p, fe_mod.calib_of(self.cam_l), fe_mod.calib_of(self.cam_r), self.T_rl)
         self.logger = TrajectoryLogger()
         self.prof = Profiler.instance()
         self.prof.enabled = p.log_timings
-
         self.reset()
 
     # ------------------------------------------------------------------
@@ -81,12 +80,10 @@ class SlamSystem:
         """Full pipeline reset (reference: SlamManager::reset,
         ov2slam.cpp:427-454)."""
         p = self.params
-        self.kps = FrameKps.empty(self.kp_cap)
         self.map = MapStore(p.lm_capacity)
         self.estimator = Estimator(
             p, fe_mod.calib_of(self.cam_l), fe_mod.calib_of(self.cam_r), self.T_rl)
-        self.motion = fe_mod.MotionModel()
-        self.prev_pyr = None
+        self.fe_state: Optional[fe_mod.FEState] = None
         self.T_cw = np.eye(4, dtype=np.float32)
         self.initialized = False
         self.frame_id = -1
@@ -95,11 +92,23 @@ class SlamSystem:
         self.cur_kfid = -1
         self.detector_quality = p.dmaxquality
         self.median_depth = 5.0
-        self._key = jax.random.PRNGKey(0)
 
-    def _next_key(self):
-        self._key, k = jax.random.split(self._key)
-        return k
+    # ------------------------------------------------------------------
+    @property
+    def kps(self) -> FrameKps:
+        return self.fe_state.kps
+
+    def _set_kps(self, kps: FrameKps):
+        self.fe_state = self.fe_state._replace(kps=kps)
+
+    def _cur_pyr(self):
+        return self.fe_state.pyr
+
+    def _sync_pose_to_device(self):
+        """Push the host pose (after BA writeback) into device state."""
+        self.fe_state = self.fe_state._replace(
+            R_cw=jnp.asarray(self.T_cw[:3, :3]),
+            t_cw=jnp.asarray(self.T_cw[:3, 3]))
 
     # ------------------------------------------------------------------
     def process_stereo(self, iml: np.ndarray, imr: np.ndarray, time: float
@@ -108,58 +117,53 @@ class SlamSystem:
         of SlamManager::run, ov2slam.cpp:116-237)."""
         p = self.params
         self.frame_id += 1
-        with self.prof.scope("0.Full-Front_End"):
-            cur_pyr = fe_mod.preprocess(
-                jnp.asarray(iml), p.nklt_pyr_lvl, p.use_clahe, p.fclahe_val)
+        img_u8 = jax.device_put(np.ascontiguousarray(iml).astype(np.uint8))
 
-            if not self.initialized:
-                self._initialize_stereo(iml, imr, cur_pyr, time)
-                self.prev_pyr = cur_pyr
+        with self.prof.scope("0.Full-Front_End"):
+            if self.fe_state is None:
+                self.fe_state = fe_mod.init_fe_state(
+                    np.asarray(iml, np.uint8), self.kp_cap, p.nklt_pyr_lvl,
+                    p.use_clahe, p.fclahe_val)
+                self._initialize_stereo(iml, imr, time)
                 T_wkf = None
                 if self.cur_kfid in self.map.keyframes:
                     T_wkf = np.linalg.inv(self.map.keyframes[self.cur_kfid].T_cw)
                 self.logger.add(time, self.T_wc(), True, self.cur_kfid, T_wkf)
                 return self.T_wc()
 
-            # ---- tracking ----
-            T_prior = self.motion.predict(time)
-            if T_prior is None:
-                T_prior = self.T_cw
             lm_pos, lm_is3d = self.map.device_landmarks()
-            with self.prof.scope("1.FE_Track"):
-                res = fe_mod.track_frame(
-                    self.prev_pyr, cur_pyr, self.kps, lm_pos, lm_is3d,
-                    self.cam_l,
-                    jnp.asarray(T_prior[:3, :3]), jnp.asarray(T_prior[:3, 3]),
-                    jnp.asarray(self.T_cw[:3, :3]), jnp.asarray(self.T_cw[:3, 3]),
-                    self._next_key(),
-                    nklt_pyr_lvl=p.nklt_pyr_lvl, nklt_win=p.nklt_win_size,
-                    nmax_iter=p.nmax_iter,
-                    fmax_px_precision=p.fmax_px_precision,
-                    fmax_fbklt_dist=p.fmax_fbklt_dist, klt_err=p.nklt_err,
-                    do_epipolar=p.doepipolar, fransac_err=p.fransac_err,
-                    robust_th2=p.robust_mono_th)
-            self.kps = res.kps
-            pose_ok = bool(res.pose_ok)
-            if pose_ok:
-                T = np.eye(4, dtype=np.float32)
-                T[:3, :3] = np.asarray(res.T_cw_R)
-                T[:3, 3] = np.asarray(res.T_cw_t)
-                self.T_cw = T
-            self.motion.update(self.T_cw, time)
+            self.fe_state, stats = fe_mod.frame_step(
+                self.fe_state, img_u8, lm_pos, lm_is3d, self.cam_l,
+                levels=p.nklt_pyr_lvl, use_clahe=p.use_clahe,
+                clahe_clip=p.fclahe_val, nklt_win=p.nklt_win_size,
+                nmax_iter=p.nmax_iter,
+                fmax_px_precision=p.fmax_px_precision,
+                fmax_fbklt_dist=p.fmax_fbklt_dist, klt_err=p.nklt_err,
+                do_epipolar=p.doepipolar, fransac_err=p.fransac_err,
+                robust_th2=p.robust_mono_th)
+            try:
+                stats.copy_to_host_async()
+            except AttributeError:
+                pass
+            stats_np = np.asarray(stats)
 
-            n_tracked = int(res.n_tracked)
-            need_kf = fe_mod.check_new_kf(
-                p, n_tracked, int(res.n_3d), float(res.parallax_med),
-                self.frames_since_kf, self.n_kps_at_kf, pose_ok)
+        pose_ok = stats_np[0] > 0.5
+        n_tracked = int(stats_np[1])
+        n_3d = int(stats_np[2])
+        parallax = float(stats_np[4])
+        if pose_ok:
+            T = np.eye(4, dtype=np.float32)
+            T[:3, :3] = _mat_from_quat_np(stats_np[8:12])
+            T[:3, 3] = stats_np[5:8]
+            self.T_cw = T
 
-            # tracking-loss reset (visual_front_end.cpp:100-102)
-            if n_tracked < 6 and self.map.n_3d() > 0 and self.frames_since_kf > 3:
-                need_kf = True
+        need_kf = fe_mod.check_new_kf(
+            p, n_tracked, n_3d, parallax,
+            self.frames_since_kf, self.n_kps_at_kf, pose_ok)
 
         if need_kf:
             with self.prof.scope("1.KF_Processing"):
-                self._create_keyframe(iml, imr, cur_pyr, time)
+                self._create_keyframe(iml, imr, time)
         else:
             self.frames_since_kf += 1
 
@@ -167,27 +171,25 @@ class SlamSystem:
         if self.cur_kfid in self.map.keyframes:
             T_wkf = np.linalg.inv(self.map.keyframes[self.cur_kfid].T_cw)
         self.logger.add(time, self.T_wc(), need_kf, self.cur_kfid, T_wkf)
-        self.prev_pyr = cur_pyr
         return self.T_wc()
 
     def T_wc(self) -> np.ndarray:
         return np.linalg.inv(self.T_cw.astype(np.float64)).astype(np.float32)
 
     # ------------------------------------------------------------------
-    def _initialize_stereo(self, iml, imr, cur_pyr, time):
+    def _initialize_stereo(self, iml, imr, time):
         """First keyframe: detect + stereo triangulate (the stereo init path;
         the reference marks bvision_init_ once kps are triangulated)."""
-        self._create_keyframe(iml, imr, cur_pyr, time, run_ba=False)
+        self._create_keyframe(iml, imr, time, run_ba=False)
         if self.map.n_3d() > 20:
             self.initialized = True
-        self.motion.update(self.T_cw, time)
 
     # ------------------------------------------------------------------
-    def _create_keyframe(self, iml, imr, cur_pyr, time, run_ba=True):
+    def _create_keyframe(self, iml, imr, time, run_ba=True):
         p = self.params
         kfid = self.map.next_kf_id
         self.cur_kfid = kfid
-
+        cur_pyr = self._cur_pyr()
         img_l = cur_pyr[0]
 
         # ---- detect new keypoints in free cells ----
@@ -196,7 +198,8 @@ class SlamSystem:
                 img_l, self.kps, p.nmaxdist, jnp.asarray(self.detector_quality))
             det_valid = np.asarray(det.valid)
             det_pts = np.asarray(det.points)
-            n_free_slots = int(self.kp_cap - int(np.asarray(self.kps.valid).sum()))
+            kp_valid_np = np.asarray(self.kps.valid)
+            n_free_slots = int(self.kp_cap - kp_valid_np.sum())
             order = np.argsort(-np.asarray(det.scores))
             accept = np.zeros_like(det_valid)
             budget = min(n_free_slots, int(det_valid.sum()))
@@ -209,7 +212,7 @@ class SlamSystem:
                     taken += 1
             # adaptive quality state (feature_extractor.cpp:421-426)
             n_cells = det_valid.shape[0]
-            occupied = int(np.asarray(self.kps.valid).sum())
+            occupied = int(kp_valid_np.sum())
             self.detector_quality = det_mod.adaptive_quality_update(
                 self.detector_quality, int(det_valid.sum()),
                 max(n_cells - occupied, 1))
@@ -218,20 +221,21 @@ class SlamSystem:
                 new_lmids = np.full(n_cells, -1, np.int32)
                 ids = self.map.alloc_landmarks(taken)
                 new_lmids[accept] = ids
-                self.kps = frame_mod.insert_keypoints(
+                self._set_kps(frame_mod.insert_keypoints(
                     self.kps, self.cam_l, jnp.asarray(det_pts),
-                    jnp.asarray(accept), jnp.asarray(new_lmids))
+                    jnp.asarray(accept), jnp.asarray(new_lmids)))
 
         # ---- describe ----
         with self.prof.scope("2.KF_Describe"):
-            desc, desc_ok = mapper_mod.describe_frame(jnp.asarray(iml), self.kps)
+            desc, desc_ok = mapper_mod.describe_frame(img_l, self.kps)
             desc_np = np.asarray(desc)
             desc_ok_np = np.asarray(desc_ok)
 
         # ---- stereo matching + triangulation ----
         with self.prof.scope("2.KF_Stereo"):
             right_pyr = fe_mod.preprocess(
-                jnp.asarray(imr), p.nklt_pyr_lvl, p.use_clahe, p.fclahe_val)
+                jax.device_put(np.ascontiguousarray(imr).astype(np.uint8)),
+                p.nklt_pyr_lvl, p.use_clahe, p.fclahe_val)
             lm_pos, lm_is3d = self.map.device_landmarks()
             sm = mapper_mod.stereo_match(
                 cur_pyr, right_pyr, self.kps, lm_pos, lm_is3d,
@@ -264,8 +268,6 @@ class SlamSystem:
                 self.map.set_positions(
                     ids, Xw_np[newly], anchor_kf=kfid, bearings=bearings,
                     lams=1.0 / np.maximum(depth_np[newly], 1e-6))
-                self.kps = self.kps._replace(
-                    is3d=self.kps.valid & (self.kps.is3d | jnp.asarray(newly)))
             good_d = depth_np[tri_ok & kp_valid]
             if len(good_d) > 5:
                 self.median_depth = float(np.median(good_d))
@@ -273,9 +275,11 @@ class SlamSystem:
             # stereo observation bookkeeping: store UNDISTORTED right px for BA
             unrpx = np.asarray(cam_mod.undistort_px(self.cam_r, sm.rpx))
             has_right = np.asarray(sm.ok) & kp_valid
-            self.kps = self.kps._replace(
-                rpx=jnp.asarray(np.where(has_right[:, None], unrpx, 0.0).astype(np.float32)),
-                has_right=jnp.asarray(has_right))
+            self._set_kps(self.kps._replace(
+                is3d=self.kps.valid & (self.kps.is3d | jnp.asarray(newly)),
+                rpx=jnp.asarray(
+                    np.where(has_right[:, None], unrpx, 0.0).astype(np.float32)),
+                has_right=jnp.asarray(has_right)))
 
         # ---- temporal triangulation of leftover 2D kps ----
         with self.prof.scope("2.KF_TemporalTri"):
@@ -305,6 +309,7 @@ class SlamSystem:
             with self.prof.scope("1.BA_MapFiltering"):
                 self.estimator.map_filtering(self.map, kfid)
 
+        self._sync_pose_to_device()
         self.frames_since_kf = 0
         self.n_kps_at_kf = int(np.asarray(self.kps.valid).sum())
 
@@ -316,9 +321,9 @@ class SlamSystem:
         ok = np.asarray(self.kps.valid)
         sl = np.clip(lmid, 0, self.map.cap - 1)
         alive = self.map.lm_valid[sl] & (lmid >= 0)
-        self.kps = self.kps._replace(
+        self._set_kps(self.kps._replace(
             valid=jnp.asarray(ok & alive),
-            is3d=jnp.asarray(ok & alive & self.map.lm_is3d[sl]))
+            is3d=jnp.asarray(ok & alive & self.map.lm_is3d[sl])))
 
     # ------------------------------------------------------------------
     def _temporal_triangulation(self, cur_kfid: int):
@@ -375,8 +380,7 @@ class SlamSystem:
                 bearings=(b / max(b[2], 1e-9))[None],
                 lams=np.asarray([1.0 / max(float(tri.depth_anchor[s]), 1e-6)]))
             rec.is3d[slot] = True
-        self.kps = self.kps._replace(
-            is3d=self.kps.is3d | jnp.asarray(ok))
+        self._set_kps(self.kps._replace(is3d=self.kps.is3d | jnp.asarray(ok)))
 
     # ------------------------------------------------------------------
     def write_results(self, out_dir: str = "."):

@@ -81,16 +81,40 @@ def make_trajectory(n_frames=60, step=0.04, yaw_rate=0.002):
     return poses_wc
 
 
+def render_view(tex1, tex2, T_cw, plane_z=8.0, plane2_z=5.0, plane2_hw=2.5):
+    """Two-plane world: a far wall (z=plane_z, infinite) plus a near square
+    slab (z=plane2_z, |x|,|y| <= plane2_hw). Single-plane worlds trigger the
+    classic planar-PnP two-fold pose ambiguity, which no real scene has."""
+    img = render_plane(tex1, T_cw, plane_z)
+    img2 = render_plane(tex2, T_cw, plane2_z, plane_halfwidth=8.0)
+    # mask: pixels whose ray hits the near slab within its bounds
+    R = T_cw[:3, :3]
+    t = T_cw[:3, 3]
+    Hm = K_MAT @ np.stack([R[:, 0], R[:, 1], R[:, 2] * plane2_z + t], axis=1)
+    Hinv = np.linalg.inv(Hm)
+    ys, xs = np.meshgrid(np.arange(H, dtype=np.float64),
+                         np.arange(W, dtype=np.float64), indexing="ij")
+    px_h = np.stack([xs, ys, np.ones_like(xs)], axis=-1)
+    world = px_h @ Hinv.T
+    wx = world[..., 0] / world[..., 2]
+    wy = world[..., 1] / world[..., 2]
+    # in front of the camera and inside the slab bounds
+    Xc_z = R[2, 0] * wx + R[2, 1] * wy + R[2, 2] * plane2_z + t[2]
+    mask = (np.abs(wx) <= plane2_hw) & (np.abs(wy) <= plane2_hw) & (Xc_z > 0)
+    return np.where(mask, img2, img).astype(np.float32)
+
+
 def render_sequence(n_frames=60, seed=0, plane_z=8.0, step=0.04, yaw_rate=0.002):
     """Returns (frames_left, frames_right, gt poses camera-to-world)."""
     tex = make_texture(seed)
+    tex2 = make_texture(seed + 100)
     poses_wc = make_trajectory(n_frames, step, yaw_rate)
     T_rl = np.eye(4)
     T_rl[0, 3] = -BASELINE   # right-from-left: x_r = x_l - baseline
     out_l, out_r = [], []
     for T_wc in poses_wc:
         T_cw = np.linalg.inv(T_wc)
-        out_l.append(render_plane(tex, T_cw, plane_z))
+        out_l.append(render_view(tex, tex2, T_cw, plane_z))
         T_cw_r = T_rl @ T_cw
-        out_r.append(render_plane(tex, T_cw_r, plane_z))
+        out_r.append(render_view(tex, tex2, T_cw_r, plane_z))
     return out_l, out_r, poses_wc
