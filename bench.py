@@ -27,6 +27,8 @@ def render_sequence(n_frames):
 
 
 def main():
+    from ov2slam_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
     n_frames = int(os.environ.get("BENCH_FRAMES", "120"))
     frames_l, frames_r, poses_gt = render_sequence(n_frames)
 

@@ -131,26 +131,29 @@ def occupancy_mask(
     kp_valid: jnp.ndarray,  # (K,) bool
     radius: int,
 ) -> jnp.ndarray:
-    """(H, W) float mask, 0 inside discs of `radius` around valid keypoints,
+    """(H, W) float mask, 0 inside a disc of `radius` around valid keypoints,
     1 elsewhere (the reference's cv::circle mask, feature_extractor.cpp:317-320).
 
-    Implemented as a bounded scatter: each kp stamps a (2r+1)^2 neighborhood.
+    TPU-friendly: scatter only the K keypoint centers, then dilate with a
+    disc structuring element via a separable two-pass max (a (2r+1)^2
+    reduce_window on the seed image) — no big scatters.
     """
     H, W = shape
     r = int(radius)
+    ctr = jnp.round(kps).astype(jnp.int32)
+    inb = (ctr[:, 0] >= 0) & (ctr[:, 0] < W) & (ctr[:, 1] >= 0) & (ctr[:, 1] < H) & kp_valid
+    lin = jnp.where(inb, ctr[:, 1] * W + ctr[:, 0], H * W)
+    seed = jnp.zeros(H * W + 1, jnp.float32).at[lin].set(1.0, mode="drop")
+    seed = seed[: H * W].reshape(H, W)
+    # dilation with a disc: max-pool with the disc kernel expressed as a
+    # dense (2r+1)^2 window + mask of the corners (via conv on the seed)
     d = 2 * r + 1
-    offs = np.stack(np.meshgrid(np.arange(-r, r + 1), np.arange(-r, r + 1)), -1).reshape(-1, 2)
-    disc = (offs[:, 0] ** 2 + offs[:, 1] ** 2) <= r * r
-    offs = jnp.asarray(offs[disc], jnp.int32)               # (P, 2) dx, dy
-    ctr = jnp.round(kps).astype(jnp.int32)                  # (K, 2)
-    xx = ctr[:, None, 0] + offs[None, :, 0]                 # (K, P)
-    yy = ctr[:, None, 1] + offs[None, :, 1]
-    # out-of-bounds / invalid kps park at a dump row outside the image
-    inb = (xx >= 0) & (xx < W) & (yy >= 0) & (yy < H) & kp_valid[:, None]
-    lin = jnp.where(inb, yy * W + xx, H * W)
-    mask = jnp.ones(H * W + 1, jnp.float32)
-    mask = mask.at[lin.ravel()].set(0.0, mode="drop")
-    return mask[: H * W].reshape(H, W)
+    ys, xs = np.meshgrid(np.arange(d) - r, np.arange(d) - r, indexing="ij")
+    disc = ((ys ** 2 + xs ** 2) <= r * r).astype(np.float32)
+    hit = jax.lax.conv_general_dilated(
+        seed[None, None], jnp.asarray(disc)[None, None],
+        window_strides=(1, 1), padding="SAME")[0, 0]
+    return jnp.where(hit > 0, 0.0, 1.0)
 
 
 # ---------------------------------------------------------------------------

@@ -28,6 +28,52 @@ class KLTResult(NamedTuple):
     error: jnp.ndarray    # (N,) mean |I - J| over the window (OpenCV-style)
 
 
+# ---------------------------------------------------------------------------
+# gather-free windowed sampling
+#
+# TPU gathers go through the scalar pipeline and dominate the tracking cost
+# if each GN iteration gathers its patch. Instead we extract one integer
+# window per keypoint per level (a single batched gather), then express
+# bilinear patch sampling INSIDE the window as two batched matmuls with
+# hat-function weight matrices: patch = Wy @ window @ Wx^T with
+# W[i, j] = max(0, 1 - |j - q_i|). All GN iterations then run entirely on
+# the VPU/MXU with zero gathers.
+# ---------------------------------------------------------------------------
+
+def _extract_windows(img: jnp.ndarray, origin: jnp.ndarray, ws: int) -> jnp.ndarray:
+    """img (H, W); origin (N, 2) int (x, y) -> (N, ws, ws) windows.
+
+    Out-of-range origins clamp (jax dynamic_slice semantics)."""
+
+    def one(o):
+        return jax.lax.dynamic_slice(img, (o[1], o[0]), (ws, ws))
+
+    return jax.vmap(one)(origin)
+
+
+def _hat_weights(q: jnp.ndarray, ws: int) -> jnp.ndarray:
+    """q (N, win) continuous positions -> (N, win, ws) linear-interp weights."""
+    j = jnp.arange(ws, dtype=q.dtype)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(j[None, None, :] - q[..., None]))
+
+
+def _sample_patches_windowed(
+    windows: jnp.ndarray,    # (N, ws, ws)
+    pos_in_win: jnp.ndarray, # (N, 2) float position of the patch center
+    win: int,
+) -> jnp.ndarray:
+    """Bilinear win x win patches inside per-kp windows -> (N, win*win)."""
+    ws = windows.shape[-1]
+    r = (win - 1) / 2.0
+    offs = jnp.arange(win, dtype=windows.dtype) - r            # (win,)
+    qx = pos_in_win[:, None, 0] + offs[None, :]                # (N, win)
+    qy = pos_in_win[:, None, 1] + offs[None, :]
+    Wx = _hat_weights(qx, ws)                                  # (N, win, ws)
+    Wy = _hat_weights(qy, ws)
+    p = jnp.einsum("naj,njk,nbk->nab", Wy, windows, Wx)
+    return p.reshape(p.shape[0], win * win)
+
+
 def _track_level(
     prev_img: jnp.ndarray,
     next_img: jnp.ndarray,
@@ -39,19 +85,35 @@ def _track_level(
     eps: float,
     min_eig_th: float,
     prev_grad: Tuple[jnp.ndarray, jnp.ndarray] = None,
+    n_chunks: int = 3,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """One pyramid level of LK. Returns (new_pts, ok, err)."""
+    """One pyramid level of LK, windowed/gather-free. Returns (new_pts, ok, err).
+
+    GN iterations run in `n_chunks` chunks; per-keypoint windows are
+    re-extracted at each chunk start so each chunk allows ~±4 px of motion."""
     H, W = prev_img.shape
     half = (win - 1) / 2.0
+    ws = win + 11                      # patch + per-chunk motion + bilinear
+    margin = (ws - win) / 2.0 - 1.5    # max in-window deviation per chunk
+    hw = ws // 2
+    dt = prev_pts.dtype
+
+    def origins(pts):
+        o = jnp.round(pts).astype(jnp.int32) - hw
+        ox = jnp.clip(o[:, 0], 0, W - ws)
+        oy = jnp.clip(o[:, 1], 0, H - ws)
+        return jnp.stack([ox, oy], axis=-1)
 
     # template patches + gradients at prev_pts (fixed for all iterations)
-    tmpl = im.sample_patches(prev_img, prev_pts, win)          # (N, P)
     if prev_grad is None:
         ix_img, iy_img = im.scharr_gradients(prev_img)
     else:
         ix_img, iy_img = prev_grad
-    gx = im.sample_patches(ix_img, prev_pts, win)              # (N, P)
-    gy = im.sample_patches(iy_img, prev_pts, win)
+    o_prev = origins(prev_pts)
+    pos_prev = prev_pts - o_prev.astype(dt)
+    tmpl = _sample_patches_windowed(_extract_windows(prev_img, o_prev, ws), pos_prev, win)
+    gx = _sample_patches_windowed(_extract_windows(ix_img, o_prev, ws), pos_prev, win)
+    gy = _sample_patches_windowed(_extract_windows(iy_img, o_prev, ws), pos_prev, win)
 
     # 2x2 spatial gradient matrix per keypoint
     gxx = jnp.sum(gx * gx, axis=-1)
@@ -73,22 +135,48 @@ def _track_level(
     )
     track = valid & well_cond & in_bounds0
 
-    def body(_, carry):
-        pts, active = carry
-        cur = im.sample_patches(next_img, pts, win)            # (N, P)
+    iters_per_chunk = max(1, (max_iters + n_chunks - 1) // n_chunks)
+    pts = guess
+    active = track
+    nwin = None
+    o_next = None
+    for _ in range(n_chunks):
+        o_next = origins(pts)
+        nwin = _extract_windows(next_img, o_next, ws)
+        ctr = o_next.astype(dt) + hw
+
+        def cond(carry):
+            it, p, a = carry
+            return (it < iters_per_chunk) & jnp.any(a)
+
+        def body(carry):
+            it, p, a = carry
+            cur = _sample_patches_windowed(nwin, p - o_next.astype(dt), win)
+            diff = cur - tmpl
+            bx = jnp.sum(diff * gx, axis=-1)
+            by = jnp.sum(diff * gy, axis=-1)
+            # delta = -G^-1 b
+            dx = -(gyy * bx - gxy * by) * inv_det
+            dy = -(-gxy * bx + gxx * by) * inv_det
+            delta = jnp.stack([dx, dy], axis=-1)
+            step = jnp.where(a[:, None], delta, 0.0)
+            new_p = p + step
+            conv = jnp.sum(step * step, axis=-1) < eps * eps
+            # pause points that left the window; the next chunk re-centers
+            dev = jnp.max(jnp.abs(new_p - ctr), axis=-1)
+            a = a & ~conv & (dev <= margin)
+            return it + 1, new_p, a
+
+        _, pts, _ = jax.lax.while_loop(cond, body, (jnp.asarray(0), pts, active))
+        # reactivate unconverged points for the next (re-centered) chunk
+        cur = _sample_patches_windowed(nwin, pts - o_next.astype(dt), win)
         diff = cur - tmpl
         bx = jnp.sum(diff * gx, axis=-1)
         by = jnp.sum(diff * gy, axis=-1)
-        # delta = -G^-1 b
         dx = -(gyy * bx - gxy * by) * inv_det
         dy = -(-gxy * bx + gxx * by) * inv_det
-        delta = jnp.stack([dx, dy], axis=-1)
-        step = jnp.where(active[:, None], delta, 0.0)
-        new_pts = pts + step
-        conv = jnp.sum(step * step, axis=-1) < eps * eps
-        return new_pts, active & ~conv
-
-    pts, _ = jax.lax.fori_loop(0, max_iters, body, (guess, track))
+        notconv = (dx * dx + dy * dy) >= eps * eps
+        active = track & notconv
 
     in_bounds1 = (
         (pts[:, 0] >= half) & (pts[:, 0] < W - half)
@@ -96,7 +184,7 @@ def _track_level(
     )
     ok = track & in_bounds1
 
-    cur = im.sample_patches(next_img, pts, win)
+    cur = _sample_patches_windowed(nwin, pts - o_next.astype(dt), win)
     err = jnp.mean(jnp.abs(cur - tmpl), axis=-1)
     return pts, ok, err
 

@@ -34,6 +34,7 @@ from ov2slam_tpu.slam import mapper as mapper_mod
 from ov2slam_tpu.slam.estimator import Estimator
 from ov2slam_tpu.slam.frame import FrameKps
 from ov2slam_tpu.slam.map import KeyframeRecord, MapStore
+from ov2slam_tpu.utils import fetch_np
 
 
 def _mat_from_quat_np(q: np.ndarray) -> np.ndarray:
@@ -196,11 +197,10 @@ class SlamSystem:
         with self.prof.scope("2.KF_Detect"):
             det = mapper_mod.detect_keypoints(
                 img_l, self.kps, p.nmaxdist, jnp.asarray(self.detector_quality))
-            det_valid = np.asarray(det.valid)
-            det_pts = np.asarray(det.points)
-            kp_valid_np = np.asarray(self.kps.valid)
+            det_valid, det_pts, det_scores, kp_valid_np = fetch_np(
+                det.valid, det.points, det.scores, self.kps.valid)
             n_free_slots = int(self.kp_cap - kp_valid_np.sum())
-            order = np.argsort(-np.asarray(det.scores))
+            order = np.argsort(-det_scores)
             accept = np.zeros_like(det_valid)
             budget = min(n_free_slots, int(det_valid.sum()))
             taken = 0
@@ -228,8 +228,7 @@ class SlamSystem:
         # ---- describe ----
         with self.prof.scope("2.KF_Describe"):
             desc, desc_ok = mapper_mod.describe_frame(img_l, self.kps)
-            desc_np = np.asarray(desc)
-            desc_ok_np = np.asarray(desc_ok)
+            desc_np, desc_ok_np = fetch_np(desc, desc_ok)
 
         # ---- stereo matching + triangulation ----
         with self.prof.scope("2.KF_Stereo"):
@@ -251,13 +250,11 @@ class SlamSystem:
                 jnp.asarray(self.T_cw[:3, :3]), jnp.asarray(self.T_cw[:3, 3]),
                 self.T_rl.R, self.T_rl.t)
 
-            tri_ok = np.asarray(tri.ok)
-            Xw_np = np.asarray(tri.Xw)
-            depth_np = np.asarray(tri.depth)
-            kp_lmid = np.asarray(self.kps.lmid)
-            kp_valid = np.asarray(self.kps.valid)
-            kp_is3d = np.asarray(self.kps.is3d)
-            kp_bv = np.asarray(self.kps.bv)
+            unrpx_dev = cam_mod.undistort_px(self.cam_r, sm.rpx)
+            (tri_ok, Xw_np, depth_np, kp_lmid, kp_valid, kp_is3d, kp_bv,
+             unrpx, sm_ok) = fetch_np(
+                tri.ok, tri.Xw, tri.depth, self.kps.lmid, self.kps.valid,
+                self.kps.is3d, self.kps.bv, unrpx_dev, sm.ok)
 
             # only triangulate kps that are not yet 3D (the reference keeps
             # existing landmark positions; BA refines them)
@@ -273,8 +270,7 @@ class SlamSystem:
                 self.median_depth = float(np.median(good_d))
 
             # stereo observation bookkeeping: store UNDISTORTED right px for BA
-            unrpx = np.asarray(cam_mod.undistort_px(self.cam_r, sm.rpx))
-            has_right = np.asarray(sm.ok) & kp_valid
+            has_right = sm_ok & kp_valid
             self._set_kps(self.kps._replace(
                 is3d=self.kps.valid & (self.kps.is3d | jnp.asarray(newly)),
                 rpx=jnp.asarray(
@@ -287,17 +283,24 @@ class SlamSystem:
 
         # ---- record keyframe ----
         kp = self.kps
+        (k_px, k_unpx, k_bv, k_lmid, k_valid, k_is3d, k_rpx, k_hr) = fetch_np(
+            kp.px, kp.unpx, kp.bv, kp.lmid, kp.valid, kp.is3d, kp.rpx,
+            kp.has_right)
         rec = KeyframeRecord(
             kfid=kfid, time=time, T_cw=self.T_cw.copy(),
-            px=np.asarray(kp.px).copy(), unpx=np.asarray(kp.unpx).copy(),
-            bv=np.asarray(kp.bv).copy(), lmid=np.asarray(kp.lmid).copy(),
-            valid=np.asarray(kp.valid).copy(), is3d=np.asarray(kp.is3d).copy(),
-            rpx=np.asarray(kp.rpx).copy(),
-            has_right=np.asarray(kp.has_right).copy(),
+            px=k_px, unpx=k_unpx, bv=k_bv, lmid=k_lmid,
+            valid=k_valid, is3d=k_is3d, rpx=k_rpx, has_right=k_hr,
             desc=desc_np, desc_ok=desc_ok_np)
         self.map.add_keyframe(rec)
         for s in np.nonzero(rec.valid & desc_ok_np & (rec.lmid >= 0))[0]:
             self.map.add_descriptor(int(rec.lmid[s]), desc_np[s])
+
+        # ---- local-map descriptor matching (Mapper::matchingToLocalMap,
+        # mapper.cpp:576-774): recover lost map points by projecting the
+        # covisibility-local map into this KF and merging matches ----
+        if p.bdo_track_localmap and len(self.map.keyframes) >= 3:
+            with self.prof.scope("2.KF_MatchLocalMap"):
+                self._match_local_map(kfid, rec, desc, desc_ok)
 
         # ---- local BA + filtering (Estimator thread, estimator.cpp) ----
         if run_ba and p.slam_mode and len(self.map.keyframes) >= 2:
@@ -312,6 +315,78 @@ class SlamSystem:
         self._sync_pose_to_device()
         self.frames_since_kf = 0
         self.n_kps_at_kf = int(np.asarray(self.kps.valid).sum())
+
+    # ------------------------------------------------------------------
+    def _match_local_map(self, kfid: int, rec, desc_dev, desc_ok_dev,
+                         max_cands: int = 2048):
+        m = self.map
+        cur_lmids = set(int(x) for x in rec.lmid[rec.valid & (rec.lmid >= 0)])
+        cand_ids = []
+        seen = set()
+        for ckf in m.covisible_kfs(kfid)[:10]:
+            crec = m.keyframes.get(ckf)
+            if crec is None:
+                continue
+            for s in np.nonzero(crec.valid & crec.is3d & (crec.lmid >= 0))[0]:
+                lmid = int(crec.lmid[s])
+                if (lmid in seen or lmid in cur_lmids
+                        or not m.lm_valid[lmid] or not m.lm_is3d[lmid]
+                        or not m.lm_desc_ok[lmid]):
+                    continue
+                seen.add(lmid)
+                cand_ids.append(lmid)
+                if len(cand_ids) >= max_cands:
+                    break
+            if len(cand_ids) >= max_cands:
+                break
+        if len(cand_ids) < 1:
+            return
+        M = max_cands
+        ids = np.full(M, -1, np.int64)
+        ids[:len(cand_ids)] = cand_ids
+        pos = np.zeros((M, 3), np.float32)
+        cdesc = np.zeros((M, 8), np.uint32)
+        cvalid = np.zeros(M, bool)
+        pos[:len(cand_ids)] = m.lm_pos[cand_ids]
+        cdesc[:len(cand_ids)] = m.lm_desc[cand_ids]
+        cvalid[:len(cand_ids)] = True
+
+        # merge targets: keypoints whose landmark is only observed here
+        matchable = np.zeros(self.kp_cap, bool)
+        for s in np.nonzero(rec.valid & (rec.lmid >= 0))[0]:
+            lmid = int(rec.lmid[s])
+            if len(m.lm_obs.get(lmid, ())) <= 1:
+                matchable[s] = True
+
+        res = mapper_mod.match_to_local_map(
+            self.kps, desc_dev, desc_ok_dev, jnp.asarray(matchable),
+            jnp.asarray(pos), jnp.asarray(cdesc), jnp.asarray(cvalid),
+            self.cam_l,
+            jnp.asarray(self.T_cw[:3, :3]), jnp.asarray(self.T_cw[:3, 3]),
+            max_px_dist=self.params.fmax_proj_pxdist,
+            max_desc_dist=self.params.fmax_desc_dist)
+        ok_np, slot_np = fetch_np(res.ok, res.kp_slot)
+        n_merged = 0
+        taken = set()
+        for ci in np.nonzero(ok_np)[0]:
+            s = int(slot_np[ci])
+            if s < 0 or s in taken:
+                continue
+            dst = int(ids[ci])
+            src = int(rec.lmid[s])
+            if dst < 0 or src < 0 or dst == src or not m.lm_valid[dst]:
+                continue
+            taken.add(s)
+            m.merge_landmarks(dst, src)
+            n_merged += 1
+        if n_merged:
+            # sync the live keypoint table with the re-pointed slots
+            m.update_covisibility(kfid)
+            sl = np.clip(rec.lmid, 0, m.cap - 1)
+            self._set_kps(self.kps._replace(
+                lmid=jnp.asarray(rec.lmid),
+                valid=jnp.asarray(rec.valid & (np.asarray(self.kps.valid))),
+                is3d=jnp.asarray(rec.valid & m.lm_is3d[sl] & (rec.lmid >= 0))))
 
     # ------------------------------------------------------------------
     def _refresh_kp_3d_flags(self):

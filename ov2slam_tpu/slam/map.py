@@ -197,6 +197,26 @@ class MapStore:
         if not obs:
             self.remove_landmark(lmid)
 
+    def merge_landmarks(self, dst: int, src: int):
+        """Merge landmark src into dst (reference: MapManager::mergeMapPoints,
+        map_manager.cpp:801-882): transfer observations (KF keypoint slots
+        re-pointed to dst), keep dst's geometry, drop src."""
+        if dst == src or not self.lm_valid[dst] or not self.lm_valid[src]:
+            return
+        for kfid in list(self.lm_obs.get(src, ())):
+            kf = self.keyframes.get(kfid)
+            if kf is not None:
+                m = (kf.lmid == src)
+                if kfid in self.lm_obs.get(dst, ()):
+                    # dst already seen there: drop the duplicate keypoint
+                    kf.valid[m] = False
+                else:
+                    kf.lmid[m] = dst
+                    self.lm_obs[dst].add(kfid)
+        self.lm_obs[src] = set()
+        self.remove_landmark(src)
+        self._device_dirty = True
+
     def update_covisibility(self, kfid: int):
         """Recount shared 3D landmarks between kfid and all co-observers
         (reference: map_manager.cpp:117-193)."""

@@ -204,3 +204,55 @@ def triangulate_temporal(
 def describe_frame(img: jnp.ndarray, kps: FrameKps):
     """BRIEF for every valid keypoint (map_manager.cpp:286-341)."""
     return desc_mod.describe_brief(img, kps.px, kps.valid)
+
+
+class LocalMapMatchResult(NamedTuple):
+    kp_slot: jnp.ndarray     # (M,) int32 matched keypoint slot (-1 = none)
+    ok: jnp.ndarray          # (M,) bool
+
+
+@jax.jit
+def match_to_local_map(
+    kps: FrameKps,
+    kp_desc: jnp.ndarray,        # (K, 8) uint32 current-frame descriptors
+    kp_desc_ok: jnp.ndarray,     # (K,)
+    kp_matchable: jnp.ndarray,   # (K,) bool — kps eligible to be merged
+    cand_pos: jnp.ndarray,       # (M, 3) local-map landmark positions
+    cand_desc: jnp.ndarray,      # (M, 8) uint32
+    cand_valid: jnp.ndarray,     # (M,)
+    cam: Camera,
+    R_cw: jnp.ndarray,
+    t_cw: jnp.ndarray,
+    max_px_dist: float = 2.0,
+    max_desc_dist: float = 0.2,
+    ratio: float = 0.9,
+) -> LocalMapMatchResult:
+    """Match unobserved local-map landmarks to this keyframe's keypoints
+    (Mapper::matchToMap, mapper.cpp:576-774): project each candidate, gate by
+    pixel distance, descriptor distance + two-best ratio test.
+
+    All-pairs (M, K) on device; the Hamming matrix is one XOR+popcount pass.
+    """
+    T_cw = SE3(R_cw, t_cw)
+    Xc = lie.se3_apply(T_cw, cand_pos)
+    proj = cam_mod.project_cam_to_image_dist(cam, Xc)
+    vis = cand_valid & (Xc[:, 2] > 0.1) & cam_mod.in_image(cam, proj)
+
+    # pixel distance gate (M, K)
+    d_px = jnp.linalg.norm(proj[:, None, :] - kps.px[None, :, :], axis=-1)
+    kp_ok = kps.valid & kp_desc_ok & kp_matchable
+    gate = (d_px <= max_px_dist) & kp_ok[None, :] & vis[:, None]
+
+    # descriptor distances
+    d_h = desc_mod.hamming_matrix(cand_desc, kp_desc).astype(jnp.float32)
+    BIG = 1e9
+    d = jnp.where(gate, d_h, BIG)
+    best = jnp.argmin(d, axis=1)
+    bestd = jnp.min(d, axis=1)
+    d2 = d.at[jnp.arange(d.shape[0]), best].set(BIG)
+    secondd = jnp.min(d2, axis=1)
+
+    th = max_desc_dist * 256.0
+    ok = vis & (bestd <= th) & (bestd <= ratio * secondd)
+    return LocalMapMatchResult(
+        kp_slot=jnp.where(ok, best.astype(jnp.int32), -1), ok=ok)
