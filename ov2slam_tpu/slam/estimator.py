@@ -208,11 +208,15 @@ class Estimator:
                 T[:3, 3] = t_np[i]
                 m.keyframes[kfid].T_cw = T
 
-        # ---- write back landmarks ----
+        # ---- write back landmarks (only those actually in the problem:
+        # landmarks whose anchor fell outside the window were dropped and
+        # their problem-side state is default-initialized garbage) ----
         Xw_np = np.asarray(result.Xw)
         lam_np = np.asarray(result.lam)
         nL = len(lm_ids)
-        m.update_positions_from_ba(lm_ids, Xw_np[:nL], lam_np[:nL])
+        in_prob = np.asarray(prob.lm_valid)[:nL]
+        m.update_positions_from_ba(
+            lm_ids[in_prob], Xw_np[:nL][in_prob], lam_np[:nL][in_prob])
 
         # ---- outlier sweep (optimizer.cpp:737-895): drop observations whose
         # final chi2 failed; landmarks left with <2 observers are culled ----

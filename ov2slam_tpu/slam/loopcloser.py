@@ -1,0 +1,264 @@
+"""Loop closing: online place recognition + geometric verification +
+pose-graph correction + map merging.
+
+Replaces the reference's LoopCloser thread (reference: src/loop_closer.cpp):
+per keyframe — feed descriptors to the BoW detector; on a candidate, reject
+covisible matches, kNN-match descriptors (device Hamming), P3P-RANSAC +
+robust PnP against the loop keyframe's landmarks (device), and if enough
+inliers: solve the local pose graph (device LM), recompute landmark positions
+from their (corrected) anchors, and merge duplicated landmarks.
+
+Host logic stays thin: everything numeric runs in the jitted device solvers.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ov2slam_tpu.config import SlamParams
+from ov2slam_tpu.core import camera as cam_mod
+from ov2slam_tpu.core import lie
+from ov2slam_tpu.core.camera import Camera
+from ov2slam_tpu.core.lie import SE3
+from ov2slam_tpu.ops import describe as desc_mod
+from ov2slam_tpu.ops import mvg
+from ov2slam_tpu.opt import pnp as pnp_mod
+from ov2slam_tpu.opt import posegraph as pg_mod
+from ov2slam_tpu.slam import bow
+from ov2slam_tpu.slam import frontend as fe_mod
+from ov2slam_tpu.slam.map import MapStore
+
+
+@dataclass
+class LoopClosureEvent:
+    query_kf: int
+    match_kf: int
+    n_inliers: int
+    n_merged: int
+    pose_jump: float           # |t| correction applied to the query KF
+
+
+class LoopCloser:
+    def __init__(self, params: SlamParams, cam_l: Camera):
+        self.params = params
+        self.cam_l = cam_l
+        self.detector = bow.LCDetector()
+        self.last_closure_kf = -10
+
+    # ------------------------------------------------------------------
+    def process_kf(self, m: MapStore, kfid: int,
+                   key=None) -> Optional[LoopClosureEvent]:
+        """Returns an event if a loop was closed (reference run loop,
+        loop_closer.cpp:65-184)."""
+        rec = m.keyframes.get(kfid)
+        if rec is None:
+            return None
+        dmask = rec.valid & rec.desc_ok & (rec.lmid >= 0)
+        descs = rec.desc[dmask]
+        cand = self.detector.process(kfid, descs)
+        if cand is None:
+            return None
+        if kfid - self.last_closure_kf < 5:
+            return None
+
+        # resolve the match to a surviving keyframe (culling may have
+        # removed the exact id)
+        match_kf = cand.match_kf
+        if match_kf not in m.keyframes:
+            near = [k for k in m.keyframes if abs(k - match_kf) <= 3]
+            if not near:
+                return None
+            match_kf = min(near, key=lambda k: abs(k - match_kf))
+        # covisibility rejection (loop_closer.cpp:201-209): a strongly
+        # covisible "loop" is just the local map
+        if m.covis.get(kfid, {}).get(match_kf, 0) > 10:
+            return None
+
+        ev = self._verify_and_close(m, kfid, match_kf, key)
+        if ev is not None:
+            self.last_closure_kf = kfid
+        return ev
+
+    # ------------------------------------------------------------------
+    def _verify_and_close(self, m: MapStore, kfid: int, match_kf: int, key
+                          ) -> Optional[LoopClosureEvent]:
+        p = self.params
+        rec = m.keyframes[kfid]
+        mrec = m.keyframes[match_kf]
+
+        # ---- kNN descriptor matching cur -> loop KF (loop_closer.cpp:378) --
+        cur_mask = rec.valid & rec.desc_ok & (rec.lmid >= 0)
+        loop_mask = (mrec.valid & mrec.desc_ok & mrec.is3d
+                     & (mrec.lmid >= 0))
+        cur_idx = np.nonzero(cur_mask)[0]
+        loop_idx = np.nonzero(loop_mask)[0]
+        if len(cur_idx) < 20 or len(loop_idx) < 20:
+            return None
+        best, bd, sd = desc_mod.knn2_match(
+            jnp.asarray(rec.desc[cur_idx]), jnp.ones(len(cur_idx), bool),
+            jnp.asarray(mrec.desc[loop_idx]), jnp.ones(len(loop_idx), bool))
+        best = np.asarray(best)
+        bd = np.asarray(bd)
+        sd = np.asarray(sd)
+        good = (bd <= 0.85 * sd) & (bd < p.fmax_desc_dist * 2.0 * 256)
+        if good.sum() < 15:
+            return None
+
+        # matched pairs: current kp slot s -> loop landmark id
+        pairs = []
+        for i in np.nonzero(good)[0]:
+            s = int(cur_idx[i])
+            lm = int(mrec.lmid[loop_idx[best[i]]])
+            if m.lm_valid[lm] and m.lm_is3d[lm]:
+                pairs.append((s, lm))
+        if len(pairs) < 15:
+            return None
+
+        # ---- P3P RANSAC + PnP on loop landmarks vs current bearings ----
+        N = 512
+        Xw = np.zeros((N, 3), np.float32)
+        bv = np.zeros((N, 3), np.float32)
+        bv[:, 2] = 1.0
+        unpx = np.zeros((N, 2), np.float32)
+        val = np.zeros(N, bool)
+        for j, (s, lm) in enumerate(pairs[:N]):
+            Xw[j] = m.lm_pos[lm]
+            bv[j] = rec.bv[s]
+            unpx[j] = rec.unpx[s]
+            val[j] = True
+        if key is None:
+            key = jax.random.PRNGKey(kfid)
+        focal = float(self.cam_l.fx + self.cam_l.fy) * 0.5
+        T_est, inl, n_in, okflag = mvg.p3p_ransac(
+            jnp.asarray(Xw), jnp.asarray(bv), jnp.asarray(val), key,
+            err_th_norm=p.fransac_err / focal, n_hyps=512)
+        if not bool(okflag) or int(n_in) < 10:
+            return None
+        pnp = pnp_mod.pnp_robust_then_l2(
+            fe_mod.calib_of(self.cam_l), T_est, jnp.asarray(Xw),
+            jnp.asarray(unpx), inl, robust_th2=p.robust_mono_th)
+        n_inl = int(pnp.n_inliers)
+        if n_inl < 30:           # reference threshold (loop_closer.cpp:304)
+            return None
+
+        # corrected pose of the query KF
+        T_corr = np.eye(4, dtype=np.float32)
+        T_corr[:3, :3] = np.asarray(pnp.T_cw.R)
+        T_corr[:3, 3] = np.asarray(pnp.T_cw.t)
+        T_old = rec.T_cw
+        jump = float(np.linalg.norm(
+            np.linalg.inv(T_corr)[:3, 3] - np.linalg.inv(T_old)[:3, 3]))
+
+        # ---- local pose graph over [match_kf .. kfid] (optimizer.cpp:2346) --
+        self._pose_graph_correct(m, match_kf, kfid, T_corr)
+
+        # ---- recompute landmark positions from corrected anchors ----
+        self._recompute_landmarks(m)
+
+        # ---- merge the verified landmark pairs (map_manager.cpp:801-882) ---
+        inl_np = np.asarray(pnp.inliers)
+        n_merged = 0
+        for j, (s, lm) in enumerate(pairs[:N]):
+            if not inl_np[j]:
+                continue
+            src = int(rec.lmid[s])
+            if src < 0 or src == lm or not m.lm_valid[src] or not m.lm_valid[lm]:
+                continue
+            m.merge_landmarks(lm, src)
+            n_merged += 1
+        m.update_covisibility(kfid)
+
+        return LoopClosureEvent(
+            query_kf=kfid, match_kf=match_kf, n_inliers=n_inl,
+            n_merged=n_merged, pose_jump=jump)
+
+    # ------------------------------------------------------------------
+    def _pose_graph_correct(self, m: MapStore, loop_kf: int, new_kf: int,
+                            T_corr_new: np.ndarray):
+        """Chain + loop-edge pose graph; loop KF gauge-fixed; corrected poses
+        written back (optimizer.cpp:2346-2592)."""
+        kf_ids = sorted(k for k in m.keyframes if loop_kf <= k <= new_kf)
+        if len(kf_ids) < 3:
+            # trivial: apply the correction directly
+            m.keyframes[new_kf].T_cw = T_corr_new.copy()
+            return
+        F = 1 << max(3, (len(kf_ids) - 1).bit_length())
+        E = F + 4
+        R = np.tile(np.eye(3, dtype=np.float32), (F, 1, 1))
+        t = np.zeros((F, 3), np.float32)
+        opt = np.zeros(F, bool)
+        for i, k in enumerate(kf_ids):
+            T = m.keyframes[k].T_cw
+            R[i] = T[:3, :3]
+            t[i] = T[:3, 3]
+            opt[i] = (i != 0)
+        ei = np.zeros(E, np.int32)
+        ej = np.zeros(E, np.int32)
+        mR = np.tile(np.eye(3, dtype=np.float32), (E, 1, 1))
+        mt = np.zeros((E, 3), np.float32)
+        w = np.zeros(E, np.float32)
+        n = 0
+        for i in range(1, len(kf_ids)):
+            Ta = m.keyframes[kf_ids[i]].T_cw.astype(np.float64)
+            Tb = m.keyframes[kf_ids[i - 1]].T_cw.astype(np.float64)
+            Trel = Ta @ np.linalg.inv(Tb)
+            ei[n] = i
+            ej[n] = i - 1
+            mR[n] = Trel[:3, :3].astype(np.float32)
+            mt[n] = Trel[:3, 3].astype(np.float32)
+            w[n] = 1.0
+            n += 1
+        # loop edge: corrected relative pose new-vs-loop
+        T_loop = m.keyframes[loop_kf].T_cw.astype(np.float64)
+        Trel = T_corr_new.astype(np.float64) @ np.linalg.inv(T_loop)
+        ei[n] = len(kf_ids) - 1
+        ej[n] = 0
+        mR[n] = Trel[:3, :3].astype(np.float32)
+        mt[n] = Trel[:3, 3].astype(np.float32)
+        w[n] = float(len(kf_ids))     # strong loop edge
+        n += 1
+
+        prob = pg_mod.PoseGraphProblem(
+            R=jnp.asarray(R), t=jnp.asarray(t), pose_opt=jnp.asarray(opt),
+            edge_i=jnp.asarray(ei), edge_j=jnp.asarray(ej),
+            meas_R=jnp.asarray(mR), meas_t=jnp.asarray(mt),
+            edge_weight=jnp.asarray(w))
+        out = pg_mod.solve_pose_graph(prob, max_iters=10)
+        R_new = np.asarray(out.R)
+        t_new = np.asarray(out.t)
+        for i, k in enumerate(kf_ids):
+            T = np.eye(4, dtype=np.float32)
+            T[:3, :3] = R_new[i]
+            T[:3, 3] = t_new[i]
+            m.keyframes[k].T_cw = T
+        # propagate to keyframes newer than new_kf (rare; optimizer.cpp:2527)
+        newer = [k for k in m.keyframes if k > new_kf]
+        if newer:
+            T_old = np.eye(4)
+            T_old[:3, :3] = R[len(kf_ids) - 1]
+            T_old[:3, 3] = t[len(kf_ids) - 1]
+            corr = np.linalg.inv(T_old) @ m.keyframes[new_kf].T_cw.astype(np.float64)
+            for k in newer:
+                m.keyframes[k].T_cw = (
+                    m.keyframes[k].T_cw.astype(np.float64) @ corr
+                ).astype(np.float32)
+
+    # ------------------------------------------------------------------
+    def _recompute_landmarks(self, m: MapStore):
+        """Anchored landmarks follow their anchor keyframes: rebuild world
+        positions from (anchor pose, bearing, inverse depth)."""
+        ids = np.nonzero(m.lm_valid & m.lm_is3d)[0]
+        for lm in ids:
+            a = int(m.lm_anchor[lm])
+            kf = m.keyframes.get(a)
+            if kf is None:
+                continue
+            T_wa = np.linalg.inv(kf.T_cw.astype(np.float64))
+            Xa = m.lm_bearing[lm] / max(float(m.lm_lam[lm]), 1e-9)
+            m.lm_pos[lm] = (T_wa[:3, :3] @ Xa + T_wa[:3, 3]).astype(np.float32)
+        m._device_dirty = True

@@ -32,6 +32,7 @@ from ov2slam_tpu.slam import frame as frame_mod
 from ov2slam_tpu.slam import frontend as fe_mod
 from ov2slam_tpu.slam import mapper as mapper_mod
 from ov2slam_tpu.slam.estimator import Estimator
+from ov2slam_tpu.slam.loopcloser import LoopCloser
 from ov2slam_tpu.slam.frame import FrameKps
 from ov2slam_tpu.slam.map import KeyframeRecord, MapStore
 from ov2slam_tpu.utils import fetch_np
@@ -84,6 +85,8 @@ class SlamSystem:
         self.map = MapStore(p.lm_capacity)
         self.estimator = Estimator(
             p, fe_mod.calib_of(self.cam_l), fe_mod.calib_of(self.cam_r), self.T_rl)
+        self.loopcloser = LoopCloser(p, self.cam_l) if p.buse_loop_closer else None
+        self.last_loop_event = None
         self.fe_state: Optional[fe_mod.FEState] = None
         self.T_cw = np.eye(4, dtype=np.float32)
         self.initialized = False
@@ -311,6 +314,17 @@ class SlamSystem:
                 self._refresh_kp_3d_flags()
             with self.prof.scope("1.BA_MapFiltering"):
                 self.estimator.map_filtering(self.map, kfid)
+
+        # ---- loop closing (LoopCloser thread, loop_closer.cpp) ----
+        # every KF feeds the place-recognition index, including the first
+        if self.loopcloser is not None:
+            with self.prof.scope("2.LC_Process"):
+                ev = self.loopcloser.process_kf(self.map, kfid)
+            if ev is not None:
+                self.last_loop_event = ev
+                # the query KF pose may have been corrected
+                self.T_cw = self.map.keyframes[kfid].T_cw.copy()
+                self._refresh_kp_3d_flags()
 
         self._sync_pose_to_device()
         self.frames_since_kf = 0
