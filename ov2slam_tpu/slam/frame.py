@@ -32,6 +32,8 @@ class FrameKps(NamedTuple):
     is3d: jnp.ndarray      # (K,) bool — landmark has a triangulated position
     rpx: jnp.ndarray       # (K, 2) right-cam pixel observation
     has_right: jnp.ndarray # (K,) bool
+    kf_bv: jnp.ndarray     # (K, 3) bearing at the last keyframe (for the
+                           # rotation-compensated parallax vs KF)
 
     @property
     def cap(self) -> int:
@@ -48,6 +50,7 @@ class FrameKps(NamedTuple):
             is3d=jnp.zeros((cap,), bool),
             rpx=jnp.zeros((cap, 2), dtype),
             has_right=jnp.zeros((cap,), bool),
+            kf_bv=jnp.zeros((cap, 3), dtype),
         )
 
 
@@ -110,6 +113,7 @@ def insert_keypoints(
         is3d=scat(kps.is3d, jnp.zeros_like(new_ok)),
         rpx=scat(kps.rpx, jnp.zeros_like(new_px)),
         has_right=scat(kps.has_right, jnp.zeros_like(new_ok)),
+        kf_bv=scat(kps.kf_bv, bv),
     )
 
 

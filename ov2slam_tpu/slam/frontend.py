@@ -93,6 +93,7 @@ def track_frame(
     R_prev: jnp.ndarray,
     t_prev: jnp.ndarray,
     key: jnp.ndarray,
+    R_kf: jnp.ndarray = None,   # rotation of the last KF (parallax ref)
     nklt_pyr_lvl: int = 3,
     nklt_win: int = 9,
     nmax_iter: int = 30,
@@ -108,6 +109,8 @@ def track_frame(
 ) -> TrackResult:
     """One full tracking step (the device side of visualTracking/trackMono,
     visual_front_end.cpp:40-128)."""
+    if R_kf is None:
+        R_kf = R_prev
     T_prior = SE3(R_prior, t_prior)
     slot = jnp.clip(kps.lmid, 0, lm_pos.shape[0] - 1)
     Xw = lm_pos[slot]
@@ -199,9 +202,11 @@ def track_frame(
     kps2 = kps2._replace(
         valid=kps2.valid & jnp.where(pose_ok & kp3d, pnp.inliers, True))
 
-    # ---- rotation-compensated median parallax (visual_front_end.cpp:1064) --
-    R_rel = R_out @ R_prev.T      # cur-from-prev rotation
-    bv_rot = jnp.einsum("ij,nj->ni", R_rel, prev_bv)
+    # ---- rotation-compensated median parallax vs the LAST KEYFRAME
+    # (visual_front_end.cpp:1064-1141: parallax accumulates since the KF,
+    # driving both the KF decision and the mono-init trigger) ----
+    R_rel = R_out @ R_kf.T        # cur-from-KF rotation
+    bv_rot = jnp.einsum("ij,nj->ni", R_rel, kps2.kf_bv)
     rot_px = cam_mod.project_cam_to_image(cam, bv_rot)
     par = jnp.linalg.norm(kps2.unpx - rot_px, axis=-1)
     par = jnp.where(kps2.valid, par, jnp.nan)
@@ -271,6 +276,7 @@ class FEState(NamedTuple):
     R_vel: jnp.ndarray                 # constant-velocity relative step
     t_vel: jnp.ndarray
     has_vel: jnp.ndarray               # bool
+    R_kf: jnp.ndarray                  # rotation of the last keyframe
     key: jnp.ndarray
 
 
@@ -286,6 +292,7 @@ def init_fe_state(img_u8: np.ndarray, kp_cap: int, levels: int,
         R_vel=jnp.eye(3, dtype=jnp.float32),
         t_vel=jnp.zeros(3, jnp.float32),
         has_vel=jnp.asarray(False),
+        R_kf=jnp.eye(3, dtype=jnp.float32),
         key=jax.random.PRNGKey(seed),
     )
 
@@ -343,6 +350,7 @@ def frame_step(
     res = track_frame(
         state.pyr, cur_pyr, state.kps, lm_pos, lm_is3d, cam,
         R_prior, t_prior, state.R_cw, state.t_cw, sub,
+        R_kf=state.R_kf,
         nklt_pyr_lvl=levels, nklt_win=nklt_win, nmax_iter=nmax_iter,
         fmax_px_precision=fmax_px_precision,
         fmax_fbklt_dist=fmax_fbklt_dist, klt_err=klt_err,
@@ -359,7 +367,7 @@ def frame_step(
         pyr=cur_pyr, gx=cur_gx, gy=cur_gy, kps=res.kps,
         R_cw=res.T_cw_R, t_cw=res.T_cw_t,
         R_vel=vel.R, t_vel=vel.t, has_vel=jnp.asarray(True),
-        key=key)
+        R_kf=state.R_kf, key=key)
     stats = jnp.concatenate([
         jnp.stack([
             res.pose_ok.astype(jnp.float32),

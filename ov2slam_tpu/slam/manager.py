@@ -181,6 +181,127 @@ class SlamSystem:
         return np.linalg.inv(self.T_cw.astype(np.float64)).astype(np.float32)
 
     # ------------------------------------------------------------------
+    def process_mono(self, im: np.ndarray, time: float) -> np.ndarray:
+        """Monocular pipeline (reference: trackMono + mono init,
+        visual_front_end.cpp:65-128, :855-984): 2D KLT tracking until enough
+        parallax, then 5-pt/8-pt essential bootstrap at arbitrary scale 0.25,
+        temporal triangulation, and PnP tracking thereafter."""
+        p = self.params
+        self.frame_id += 1
+        img_u8 = jax.device_put(np.ascontiguousarray(im).astype(np.uint8))
+
+        with self.prof.scope("0.Full-Front_End"):
+            if self.fe_state is None:
+                self.fe_state = fe_mod.init_fe_state(
+                    np.asarray(im, np.uint8), self.kp_cap, p.nklt_pyr_lvl,
+                    p.use_clahe, p.fclahe_val)
+                self._create_keyframe(im, None, time, run_ba=False, stereo=False)
+                self.logger.add(time, self.T_wc(), True, self.cur_kfid, None)
+                return self.T_wc()
+
+            lm_pos, lm_is3d = self.map.device_landmarks()
+            self.fe_state, stats = fe_mod.frame_step(
+                self.fe_state, img_u8, lm_pos, lm_is3d, self.cam_l,
+                levels=p.nklt_pyr_lvl, use_clahe=p.use_clahe,
+                clahe_clip=p.fclahe_val, nklt_win=p.nklt_win_size,
+                nmax_iter=p.nmax_iter,
+                fmax_px_precision=p.fmax_px_precision,
+                fmax_fbklt_dist=p.fmax_fbklt_dist, klt_err=p.nklt_err,
+                do_epipolar=p.doepipolar, fransac_err=p.fransac_err,
+                robust_th2=p.robust_mono_th)
+            stats_np = np.asarray(stats)
+
+        pose_ok = stats_np[0] > 0.5
+        n_tracked = int(stats_np[1])
+        parallax = float(stats_np[4])
+        if pose_ok and self.initialized:
+            T = np.eye(4, dtype=np.float32)
+            T[:3, :3] = _mat_from_quat_np(stats_np[8:12])
+            T[:3, 3] = stats_np[5:8]
+            self.T_cw = T
+
+        need_kf = False
+        if not self.initialized:
+            # tracking-loss pre-init => reset (visual_front_end.cpp:100-102)
+            if n_tracked < 0.3 * self.n_kps_at_kf:
+                self.reset()
+                self.logger.add(time, np.eye(4, dtype=np.float32), False, -1, None)
+                return np.eye(4, dtype=np.float32)
+            if parallax > p.finit_parallax:
+                if self._try_mono_init(time):
+                    need_kf = False      # init created the KF itself
+        else:
+            need_kf = fe_mod.check_new_kf(
+                p, n_tracked, int(stats_np[2]), parallax,
+                self.frames_since_kf, self.n_kps_at_kf, pose_ok)
+            if need_kf:
+                with self.prof.scope("1.KF_Processing"):
+                    self._create_keyframe(im, None, time, stereo=False)
+            else:
+                self.frames_since_kf += 1
+
+        if not need_kf:
+            self.frames_since_kf += 1
+        T_wkf = None
+        if self.cur_kfid in self.map.keyframes:
+            T_wkf = np.linalg.inv(self.map.keyframes[self.cur_kfid].T_cw)
+        self.logger.add(time, self.T_wc(), need_kf, self.cur_kfid, T_wkf)
+        return self.T_wc()
+
+    # ------------------------------------------------------------------
+    def _try_mono_init(self, time) -> bool:
+        """Essential-matrix bootstrap at arbitrary 0.25 m scale
+        (visual_front_end.cpp:855-984)."""
+        from ov2slam_tpu.ops import mvg
+        m = self.map
+        kf0 = m.keyframes.get(self.cur_kfid)
+        if kf0 is None:
+            return False
+        kp_lmid, kp_valid, kp_bv = fetch_np(
+            self.kps.lmid, self.kps.valid, self.kps.bv)
+        K = self.kp_cap
+        bv0 = np.zeros((K, 3), np.float32)
+        bv0[:, 2] = 1.0
+        ok = np.zeros(K, bool)
+        for s in np.nonzero(kp_valid & (kp_lmid >= 0))[0]:
+            slot0 = kf0.kp_slot_of(int(kp_lmid[s]))
+            if slot0 >= 0:
+                bv0[s] = kf0.bv[slot0]
+                ok[s] = True
+        if ok.sum() < 30:
+            return False
+        res = mvg.essential_ransac(
+            jnp.asarray(bv0), jnp.asarray(kp_bv), jnp.asarray(ok),
+            jax.random.PRNGKey(self.frame_id),
+            err_th=self.params.fransac_err / float(0.5 * (self.cam_l.fx + self.cam_l.fy)),
+            n_hyps=512)
+        if not bool(res.success) or int(res.n_inliers) < 0.5 * ok.sum():
+            return False
+        T_rel = mvg.decompose_essential(
+            res.model, jnp.asarray(bv0), jnp.asarray(kp_bv), res.inliers)
+        # T_rel: cur-cam-to-KF0-cam with |t| = 1; set arbitrary 0.25 scale
+        R_wc = np.asarray(T_rel.R)
+        t_wc = np.asarray(T_rel.t) * 0.25
+        T_wc = np.eye(4, dtype=np.float32)
+        T_wc[:3, :3] = R_wc
+        T_wc[:3, 3] = t_wc
+        # T_wc is the current cam pose in KF0's frame; chain through KF0's
+        # own (usually identity) world pose: T_cw_cur = T_cw_rel @ T_cw_kf0
+        self.T_cw = (
+            np.linalg.inv(T_wc.astype(np.float64)) @ kf0.T_cw.astype(np.float64)
+        ).astype(np.float32)
+        self._sync_pose_to_device()
+        # KF + temporal triangulation against KF0 gives the initial map
+        self._create_keyframe(None, None, time, run_ba=False, stereo=False)
+        n3d = m.n_3d()
+        if n3d > 30:
+            self.initialized = True
+            return True
+        # bad init -> full reset (mapper.cpp:129-144)
+        self.reset()
+        return False
+
+    # ------------------------------------------------------------------
     def _initialize_stereo(self, iml, imr, time):
         """First keyframe: detect + stereo triangulate (the stereo init path;
         the reference marks bvision_init_ once kps are triangulated)."""
@@ -189,7 +310,7 @@ class SlamSystem:
             self.initialized = True
 
     # ------------------------------------------------------------------
-    def _create_keyframe(self, iml, imr, time, run_ba=True):
+    def _create_keyframe(self, iml, imr, time, run_ba=True, stereo=True):
         p = self.params
         kfid = self.map.next_kf_id
         self.cur_kfid = kfid
@@ -234,7 +355,11 @@ class SlamSystem:
             desc_np, desc_ok_np = fetch_np(desc, desc_ok)
 
         # ---- stereo matching + triangulation ----
-        with self.prof.scope("2.KF_Stereo"):
+        if not stereo:
+            kp_lmid, kp_valid, kp_is3d = fetch_np(
+                self.kps.lmid, self.kps.valid, self.kps.is3d)
+        else:
+          with self.prof.scope("2.KF_Stereo"):
             right_pyr = fe_mod.preprocess(
                 jax.device_put(np.ascontiguousarray(imr).astype(np.uint8)),
                 p.nklt_pyr_lvl, p.use_clahe, p.fclahe_val)
@@ -326,6 +451,10 @@ class SlamSystem:
                 self.T_cw = self.map.keyframes[kfid].T_cw.copy()
                 self._refresh_kp_3d_flags()
 
+        # re-anchor the parallax reference: all kps' KF bearings = current
+        self._set_kps(self.kps._replace(kf_bv=jnp.copy(self.kps.bv)))
+        self.fe_state = self.fe_state._replace(
+            R_kf=jnp.asarray(self.T_cw[:3, :3]))
         self._sync_pose_to_device()
         self.frames_since_kf = 0
         self.n_kps_at_kf = int(np.asarray(self.kps.valid).sum())
