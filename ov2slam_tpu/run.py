@@ -1,0 +1,72 @@
+"""CLI entry point: run SLAM over a dataset directory.
+
+Replaces the reference's ROS node (reference: src/ov2slam_node.cpp:159-223,
+`rosrun ov2slam ov2slam_node params.yaml`):
+
+    python -m ov2slam_tpu.run <params.yaml> <dataset_dir> \
+        [--dataset euroc|kitti|tartanair] [--out DIR] [--max-frames N]
+
+Writes reference-compatible trajectory files into --out and prints the
+profiler summary when log_timings is set.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time as _time
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("params", help="parameter YAML (parameters_files/...)")
+    ap.add_argument("dataset_dir", help="dataset root directory")
+    ap.add_argument("--dataset", default="euroc",
+                    choices=["euroc", "kitti", "tartanair"])
+    ap.add_argument("--out", default=".", help="output directory")
+    ap.add_argument("--max-frames", type=int, default=0)
+    ap.add_argument("--no-cache", action="store_true",
+                    help="disable the persistent XLA compilation cache")
+    args = ap.parse_args(argv)
+
+    if not args.no_cache:
+        from ov2slam_tpu.utils import enable_compilation_cache
+        enable_compilation_cache()
+
+    from ov2slam_tpu.config import SlamParams
+    from ov2slam_tpu.io.datasets import make_reader
+    from ov2slam_tpu.slam.manager import SlamSystem
+
+    params = SlamParams.from_yaml(args.params)
+    reader = make_reader(args.dataset, args.dataset_dir, stereo=params.stereo)
+    slam = SlamSystem(params)
+
+    n = 0
+    t0 = _time.perf_counter()
+    for iml, imr, t in reader:
+        if params.stereo and imr is not None:
+            slam.process_stereo(iml, imr, t)
+        else:
+            slam.process_mono(iml, t)
+        n += 1
+        if args.max_frames and n >= args.max_frames:
+            break
+        if n % 200 == 0:
+            fps = n / (_time.perf_counter() - t0)
+            print(f"[{n}/{len(reader)}] {fps:.1f} fps, "
+                  f"{len(slam.map.keyframes)} KFs, {slam.map.n_3d()} landmarks",
+                  file=sys.stderr)
+
+    dt = _time.perf_counter() - t0
+    os.makedirs(args.out, exist_ok=True)
+    slam.write_results(args.out)
+    print(f"processed {n} frames in {dt:.1f}s ({n / max(dt, 1e-9):.2f} fps); "
+          f"{len(slam.map.keyframes)} keyframes, {slam.map.n_3d()} landmarks; "
+          f"results in {args.out}")
+    if params.log_timings:
+        print(slam.prof.summary())
+
+
+if __name__ == "__main__":
+    main()

@@ -242,6 +242,61 @@ class Estimator:
         return out
 
     # ------------------------------------------------------------------
+    def full_ba(self, m: MapStore, max_kfs: int = 64, max_lms: int = 8192,
+                max_obs: int = 32768, max_iters: int = 10) -> BAOutcome:
+        """Final full BA pass (reference: Optimizer::fullBA,
+        optimizer.cpp:1674-2333, invoked from writeResults when do_full_ba).
+
+        The window is every keyframe (capped at max_kfs most-recent for the
+        dense-Schur layout); gauge = oldest keyframe in the window."""
+        out = BAOutcome()
+        kfs = sorted(m.keyframes)
+        if len(kfs) < 3:
+            return out
+        newest = kfs[-1]
+        # widen the covisibility notion: treat all (capped) KFs as the window
+        saved = dict(m.covis.get(newest, {}))
+        try:
+            m.covis[newest] = {
+                k: 10_000 for k in kfs[-(max_kfs - 2):] if k != newest}
+            return self.local_ba_with_caps(
+                m, newest, max_kfs, max_lms, max_obs, max_iters)
+        finally:
+            m.covis[newest] = saved
+
+    def local_ba_with_caps(self, m, kfid, max_kfs, max_lms, max_obs,
+                           max_iters) -> BAOutcome:
+        built = self.build_problem(m, kfid, max_kfs, max_lms, max_obs)
+        out = BAOutcome()
+        if built is None:
+            return out
+        prob, kf_list, lm_ids, meta = built
+        p = self.params
+        result = ba_mod.solve_ba(
+            prob, invdepth=p.buse_inv_depth, max_iters=max_iters, robust=True,
+            th2_mono=p.robust_mono_th, th2_stereo=p.robust_stereo_th)
+        R_np = np.asarray(result.R)
+        t_np = np.asarray(result.t)
+        for i, kfid_i in enumerate(kf_list):
+            if meta["pose_opt"][i]:
+                T = np.eye(4, dtype=np.float32)
+                T[:3, :3] = R_np[i]
+                T[:3, 3] = t_np[i]
+                m.keyframes[kfid_i].T_cw = T
+        Xw_np = np.asarray(result.Xw)
+        lam_np = np.asarray(result.lam)
+        nL = len(lm_ids)
+        in_prob = np.asarray(prob.lm_valid)[:nL]
+        m.update_positions_from_ba(
+            lm_ids[in_prob], Xw_np[:nL][in_prob], lam_np[:nL][in_prob])
+        out.ran = True
+        out.n_kfs = len(kf_list)
+        out.n_lms = nL
+        out.cost0 = float(result.cost0)
+        out.cost = float(result.cost)
+        return out
+
+    # ------------------------------------------------------------------
     def map_filtering(self, m: MapStore, new_kfid: int) -> int:
         """Redundant-KF culling (estimator.cpp:101-183): remove covisible KFs
         whose 3D keypoints are >= fkf_filtering_ratio co-observed by >= 4 KFs."""

@@ -602,9 +602,24 @@ class SlamSystem:
 
     # ------------------------------------------------------------------
     def write_results(self, out_dir: str = "."):
-        """Trajectory outputs with reference-compatible names
-        (SlamManager::writeResults, ov2slam.cpp:574-621)."""
+        """Trajectory outputs with reference-compatible names + final passes
+        (SlamManager::writeResults, ov2slam.cpp:574-621: optional fullBA,
+        then the LC-corrected full trajectory via KF-anchored relatives,
+        ov2slam.cpp:624-701)."""
         import os
         self.logger.write_tum(os.path.join(out_dir, "ov2slam_traj.txt"))
         self.logger.write_kitti(os.path.join(out_dir, "ov2slam_traj_kitti.txt"))
         self.logger.write_tum(os.path.join(out_dir, "ov2slam_kfs_traj.txt"), kf_only=True)
+
+        if self.params.do_full_ba and len(self.map.keyframes) >= 3:
+            with self.prof.scope("1.BA_fullBA"):
+                self.estimator.full_ba(self.map)
+
+        if (self.params.buse_loop_closer or self.params.do_full_ba):
+            # rebuild every frame pose from the (corrected/refined) KF poses
+            kf_poses_wc = {
+                k: np.linalg.inv(rec.T_cw.astype(np.float64))
+                for k, rec in self.map.keyframes.items()}
+            self.logger.write_full_with_kf_poses(
+                os.path.join(out_dir, "ov2slam_full_traj_wlc_opt.txt"),
+                kf_poses_wc)

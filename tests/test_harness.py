@@ -1,0 +1,107 @@
+"""Harness parity tests: presets, dataset readers, CLI, final passes
+(reference: parameters_files/, ov2slam_node.cpp, writeResults)."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from ov2slam_tpu.config import SlamParams
+from ov2slam_tpu.io import datasets as ds
+
+import synthetic as syn
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_all_presets_parse():
+    root = os.path.join(REPO, "parameters_files")
+    count = 0
+    for tier in ("fast", "average", "accurate"):
+        for dset in ("euroc", "kitti", "tartanair"):
+            d = os.path.join(root, tier, dset)
+            for f in os.listdir(d):
+                p = SlamParams.from_yaml(os.path.join(d, f))
+                assert p.fxl > 0
+                assert p.T_left_right is not None
+                assert p.mono != p.stereo
+                count += 1
+    assert count == 24
+
+
+def _write_euroc(tmp, frames_l, frames_r):
+    c0 = os.path.join(tmp, "mav0", "cam0", "data")
+    c1 = os.path.join(tmp, "mav0", "cam1", "data")
+    os.makedirs(c0)
+    os.makedirs(c1)
+    for i, (il, ir) in enumerate(zip(frames_l, frames_r)):
+        ns = int((100 + i * 0.05) * 1e9)
+        cv2.imwrite(os.path.join(c0, f"{ns}.png"), il.astype(np.uint8))
+        # right cam 2 ms later (within the 15 ms sync window)
+        cv2.imwrite(os.path.join(c1, f"{ns + 2_000_000}.png"), ir.astype(np.uint8))
+
+
+def test_euroc_reader_sync(tmp_path):
+    frames_l, frames_r, _ = syn.render_sequence(n_frames=4)
+    _write_euroc(str(tmp_path), frames_l, frames_r)
+    r = ds.EurocReader(str(tmp_path))
+    items = list(r)
+    assert len(items) == 4
+    il, ir, t = items[0]
+    assert il.shape == (480, 752) and ir is not None
+    assert abs(t - 100.0) < 1e-6
+
+
+def test_kitti_reader(tmp_path):
+    frames_l, frames_r, _ = syn.render_sequence(n_frames=3)
+    os.makedirs(tmp_path / "image_0")
+    os.makedirs(tmp_path / "image_1")
+    with open(tmp_path / "times.txt", "w") as f:
+        for i in range(3):
+            f.write(f"{i * 0.1}\n")
+            cv2.imwrite(str(tmp_path / "image_0" / f"{i:06d}.png"),
+                        frames_l[i].astype(np.uint8))
+            cv2.imwrite(str(tmp_path / "image_1" / f"{i:06d}.png"),
+                        frames_r[i].astype(np.uint8))
+    items = list(ds.KittiReader(str(tmp_path)))
+    assert len(items) == 3
+    assert items[2][2] == pytest.approx(0.2)
+
+
+def test_cli_end_to_end(tmp_path):
+    """python -m ov2slam_tpu.run over a fabricated EuRoC dir with a custom
+    preset matching the synthetic calibration."""
+    frames_l, frames_r, _ = syn.render_sequence(n_frames=12)
+    data = tmp_path / "seq"
+    os.makedirs(data)
+    _write_euroc(str(data), frames_l, frames_r)
+
+    # synthetic-calibration preset (write via dict -> yaml-ish flat file)
+    import yaml
+    d = syn.slam_params_dict()
+    d["do_full_ba"] = 1
+    d["buse_loop_closer"] = 0
+    d["T_left_right"] = np.asarray(d["T_left_right"]).tolist()
+    preset = tmp_path / "params.yaml"
+    with open(preset, "w") as f:
+        yaml.safe_dump(d, f)
+
+    out = tmp_path / "out"
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
+    res = subprocess.run(
+        [sys.executable, "-m", "ov2slam_tpu.run", str(preset), str(data),
+         "--dataset", "euroc", "--out", str(out), "--no-cache"],
+        capture_output=True, text=True, env=env, timeout=420)
+    assert res.returncode == 0, res.stderr[-2000:]
+    traj = np.loadtxt(out / "ov2slam_traj.txt")
+    assert traj.shape == (12, 8)
+    assert (out / "ov2slam_traj_kitti.txt").exists()
+    assert (out / "ov2slam_kfs_traj.txt").exists()
+    # do_full_ba triggers the full-trajectory output too
+    assert (out / "ov2slam_full_traj_wlc_opt.txt").exists()
+    full = np.loadtxt(out / "ov2slam_full_traj_wlc_opt.txt")
+    assert full.shape == (12, 8)
