@@ -145,14 +145,24 @@ def occupancy_mask(
     lin = jnp.where(inb, ctr[:, 1] * W + ctr[:, 0], H * W)
     seed = jnp.zeros(H * W + 1, jnp.float32).at[lin].set(1.0, mode="drop")
     seed = seed[: H * W].reshape(H, W)
-    # dilation with a disc: max-pool with the disc kernel expressed as a
-    # dense (2r+1)^2 window + mask of the corners (via conv on the seed)
-    d = 2 * r + 1
-    ys, xs = np.meshgrid(np.arange(d) - r, np.arange(d) - r, indexing="ij")
-    disc = ((ys ** 2 + xs ** 2) <= r * r).astype(np.float32)
-    hit = jax.lax.conv_general_dilated(
-        seed[None, None], jnp.asarray(disc)[None, None],
-        window_strides=(1, 1), padding="SAME")[0, 0]
+
+    # square dilation of radius r by doubling shift-max (log2(r) fused VPU
+    # passes; the square vs the reference's disc differs only at corners)
+    def dilate1d(x, shift, axis):
+        a = jnp.pad(x, [(shift, shift) if i == axis else (0, 0) for i in range(2)])
+        sl0 = jax.lax.slice_in_dim(a, 0, x.shape[axis], axis=axis)
+        sl2 = jax.lax.slice_in_dim(a, 2 * shift, 2 * shift + x.shape[axis], axis=axis)
+        return jnp.maximum(jnp.maximum(sl0, sl2), x)
+
+    hit = seed
+    done = 0
+    step = 1
+    while done < r:
+        s = min(step, r - done)
+        hit = dilate1d(hit, s, 0)
+        hit = dilate1d(hit, s, 1)
+        done += s
+        step *= 2
     return jnp.where(hit > 0, 0.0, 1.0)
 
 

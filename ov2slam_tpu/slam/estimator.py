@@ -25,6 +25,7 @@ from ov2slam_tpu.core.lie import SE3
 from ov2slam_tpu.opt import ba as ba_mod
 from ov2slam_tpu.opt.residuals import Calib
 from ov2slam_tpu.slam.map import MapStore
+from ov2slam_tpu.utils import fetch_np
 
 # static problem capacities (per-config; defaults suit EuRoC-scale windows)
 BA_MAX_KFS = 24
@@ -198,9 +199,9 @@ class Estimator:
             prob, invdepth=p.buse_inv_depth, max_iters=max_iters, robust=True,
             th2_mono=p.robust_mono_th, th2_stereo=p.robust_stereo_th)
 
-        # ---- write back poses ----
-        R_np = np.asarray(result.R)
-        t_np = np.asarray(result.t)
+        # ---- write back poses (one overlapped fetch for all outputs) ----
+        R_np, t_np, Xw_np, lam_np, inl = fetch_np(
+            result.R, result.t, result.Xw, result.lam, result.obs_inlier)
         for i, kfid in enumerate(kf_list):
             if meta["pose_opt"][i]:
                 T = np.eye(4, dtype=np.float32)
@@ -211,8 +212,6 @@ class Estimator:
         # ---- write back landmarks (only those actually in the problem:
         # landmarks whose anchor fell outside the window were dropped and
         # their problem-side state is default-initialized garbage) ----
-        Xw_np = np.asarray(result.Xw)
-        lam_np = np.asarray(result.lam)
         nL = len(lm_ids)
         in_prob = np.asarray(prob.lm_valid)[:nL]
         m.update_positions_from_ba(
@@ -220,7 +219,6 @@ class Estimator:
 
         # ---- outlier sweep (optimizer.cpp:737-895): drop observations whose
         # final chi2 failed; landmarks left with <2 observers are culled ----
-        inl = np.asarray(result.obs_inlier)
         n_out = 0
         for k, (kfid, lmid, s, is_right) in enumerate(meta["obs_meta"]):
             if not inl[k]:
@@ -275,16 +273,14 @@ class Estimator:
         result = ba_mod.solve_ba(
             prob, invdepth=p.buse_inv_depth, max_iters=max_iters, robust=True,
             th2_mono=p.robust_mono_th, th2_stereo=p.robust_stereo_th)
-        R_np = np.asarray(result.R)
-        t_np = np.asarray(result.t)
+        R_np, t_np, Xw_np, lam_np = fetch_np(
+            result.R, result.t, result.Xw, result.lam)
         for i, kfid_i in enumerate(kf_list):
             if meta["pose_opt"][i]:
                 T = np.eye(4, dtype=np.float32)
                 T[:3, :3] = R_np[i]
                 T[:3, 3] = t_np[i]
                 m.keyframes[kfid_i].T_cw = T
-        Xw_np = np.asarray(result.Xw)
-        lam_np = np.asarray(result.lam)
         nL = len(lm_ids)
         in_prob = np.asarray(prob.lm_valid)[:nL]
         m.update_positions_from_ba(

@@ -233,26 +233,37 @@ def check_new_kf(
     n_3d: int,
     parallax_med: float,
     frames_since_kf: int,
-    n_kps_at_kf: int,
+    n3d_at_kf: int,
     pose_ok: bool,
+    time_since_kf: float = 0.0,
 ) -> bool:
-    """Keyframe-need heuristics (reference: checkNewKfReq,
-    visual_front_end.cpp:986-1061): occupancy drop, parallax, 3d-kp ratio."""
-    if frames_since_kf < 1:
-        return False
-    if not pose_ok:
-        return n_tracked > 10
+    """Keyframe-need heuristics — the reference's exact rule set
+    (checkNewKfReq, visual_front_end.cpp:986-1061). The reference gates some
+    conditions on blocalba_is_on_ (BA concurrently running); our BA runs
+    synchronously at KF rate, so that flag is always False here."""
     nbmax = params.nbmaxkps
-    if n_tracked < 0.5 * nbmax and frames_since_kf >= 2:
+    med = 0.0 if np.isnan(parallax_med) else float(parallax_med)
+    nbimfromkf = frames_since_kf
+
+    if not pose_ok:
+        return n_tracked > 10 and nbimfromkf >= 2
+
+    if n_tracked < 0.33 * nbmax and nbimfromkf >= 5:
         return True
-    med = 0.0 if np.isnan(parallax_med) else parallax_med
-    if med > params.finit_parallax / 2.0:
+    if n_3d < 20 and nbimfromkf >= 2:
         return True
-    if n_3d < 0.85 * max(n_kps_at_kf, 1) and frames_since_kf >= 2:
+    if n_3d > 0.5 * nbmax and nbimfromkf < 2:
+        return False
+    if params.stereo and time_since_kf > 1.0:
         return True
-    if n_tracked < 0.75 * n_kps_at_kf and frames_since_kf >= 2:
-        return True
-    return False
+
+    cx = (med >= params.finit_parallax / 2.0
+          or (params.stereo and nbimfromkf > 2))
+    c0 = med >= params.finit_parallax
+    c1 = n_3d < 0.75 * max(n3d_at_kf, 1)
+    c2 = (n_tracked < 0.5 * nbmax
+          and n_3d < 0.85 * max(n3d_at_kf, 1))
+    return (c0 or c1 or c2) and cx
 
 
 # ---------------------------------------------------------------------------

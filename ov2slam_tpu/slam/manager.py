@@ -93,6 +93,8 @@ class SlamSystem:
         self.frame_id = -1
         self.frames_since_kf = 0
         self.n_kps_at_kf = 0
+        self.n3d_at_kf = 0
+        self.kf_time = 0.0
         self.cur_kfid = -1
         self.detector_quality = p.dmaxquality
         self.median_depth = 5.0
@@ -163,7 +165,8 @@ class SlamSystem:
 
         need_kf = fe_mod.check_new_kf(
             p, n_tracked, n_3d, parallax,
-            self.frames_since_kf, self.n_kps_at_kf, pose_ok)
+            self.frames_since_kf, self.n3d_at_kf, pose_ok,
+            time_since_kf=time - self.kf_time)
 
         if need_kf:
             with self.prof.scope("1.KF_Processing"):
@@ -233,7 +236,8 @@ class SlamSystem:
         else:
             need_kf = fe_mod.check_new_kf(
                 p, n_tracked, int(stats_np[2]), parallax,
-                self.frames_since_kf, self.n_kps_at_kf, pose_ok)
+                self.frames_since_kf, self.n3d_at_kf, pose_ok,
+                time_since_kf=time - self.kf_time)
             if need_kf:
                 with self.prof.scope("1.KF_Processing"):
                     self._create_keyframe(im, None, time, stereo=False)
@@ -319,8 +323,12 @@ class SlamSystem:
 
         # ---- detect new keypoints in free cells ----
         with self.prof.scope("2.KF_Detect"):
+            detector = "fast" if p.use_fast else "singlescale"
             det = mapper_mod.detect_keypoints(
-                img_l, self.kps, p.nmaxdist, jnp.asarray(self.detector_quality))
+                img_l, self.kps, p.nmaxdist,
+                jnp.asarray(self.detector_quality
+                            if detector != "fast" else float(p.nfast_th)),
+                detector=detector, fast_th=p.nfast_th)
             det_valid, det_pts, det_scores, kp_valid_np = fetch_np(
                 det.valid, det.points, det.scores, self.kps.valid)
             n_free_slots = int(self.kp_cap - kp_valid_np.sum())
@@ -337,9 +345,10 @@ class SlamSystem:
             # adaptive quality state (feature_extractor.cpp:421-426)
             n_cells = det_valid.shape[0]
             occupied = int(kp_valid_np.sum())
-            self.detector_quality = det_mod.adaptive_quality_update(
-                self.detector_quality, int(det_valid.sum()),
-                max(n_cells - occupied, 1))
+            if not p.use_fast:
+                self.detector_quality = det_mod.adaptive_quality_update(
+                    self.detector_quality, int(det_valid.sum()),
+                    max(n_cells - occupied, 1))
 
             if taken > 0:
                 new_lmids = np.full(n_cells, -1, np.int32)
@@ -457,7 +466,10 @@ class SlamSystem:
             R_kf=jnp.asarray(self.T_cw[:3, :3]))
         self._sync_pose_to_device()
         self.frames_since_kf = 0
-        self.n_kps_at_kf = int(np.asarray(self.kps.valid).sum())
+        kp_valid_f, kp_is3d_f = fetch_np(self.kps.valid, self.kps.is3d)
+        self.n_kps_at_kf = int(kp_valid_f.sum())
+        self.n3d_at_kf = int((kp_valid_f & kp_is3d_f).sum())
+        self.kf_time = time
 
     # ------------------------------------------------------------------
     def _match_local_map(self, kfid: int, rec, desc_dev, desc_ok_dev,

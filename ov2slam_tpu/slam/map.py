@@ -250,3 +250,64 @@ class MapStore:
 
     def n_3d(self) -> int:
         return int((self.lm_valid & self.lm_is3d).sum())
+
+    # ------------------------------------------------------------------
+    # checkpoint / resume (the reference has none — SURVEY §5; tensors-first
+    # design makes snapshots nearly free)
+    # ------------------------------------------------------------------
+
+    def save(self, path: str):
+        """Snapshot the full map (landmark arenas + keyframes + covisibility)
+        to one .npz file."""
+        kf_ids = sorted(self.keyframes)
+        payload = dict(
+            lm_pos=self.lm_pos, lm_lam=self.lm_lam, lm_anchor=self.lm_anchor,
+            lm_bearing=self.lm_bearing, lm_valid=self.lm_valid,
+            lm_is3d=self.lm_is3d, lm_desc=self.lm_desc,
+            lm_desc_ok=self.lm_desc_ok,
+            kf_ids=np.asarray(kf_ids, np.int64),
+            next_kf_id=np.asarray(self.next_kf_id),
+        )
+        for k in kf_ids:
+            r = self.keyframes[k]
+            payload[f"kf{k}_T"] = r.T_cw
+            payload[f"kf{k}_time"] = np.asarray(r.time)
+            for field in ("px", "unpx", "bv", "lmid", "valid", "is3d",
+                          "rpx", "has_right", "desc", "desc_ok"):
+                payload[f"kf{k}_{field}"] = getattr(r, field)
+        # observation sets as ragged arrays
+        obs_lm, obs_kf = [], []
+        for lmid, s in self.lm_obs.items():
+            for kf in s:
+                obs_lm.append(lmid)
+                obs_kf.append(kf)
+        payload["obs_lm"] = np.asarray(obs_lm, np.int64)
+        payload["obs_kf"] = np.asarray(obs_kf, np.int64)
+        np.savez_compressed(path, **payload)
+
+    @staticmethod
+    def load(path: str) -> "MapStore":
+        z = np.load(path, allow_pickle=False)
+        m = MapStore(lm_capacity=len(z["lm_valid"]))
+        for k in ("lm_pos", "lm_lam", "lm_anchor", "lm_bearing", "lm_valid",
+                  "lm_is3d", "lm_desc", "lm_desc_ok"):
+            setattr(m, k, z[k].copy())
+        m._free = [i for i in range(m.cap - 1, -1, -1) if not m.lm_valid[i]]
+        m.next_kf_id = int(z["next_kf_id"])
+        for k in z["kf_ids"]:
+            k = int(k)
+            m.keyframes[k] = KeyframeRecord(
+                kfid=k, time=float(z[f"kf{k}_time"]), T_cw=z[f"kf{k}_T"].copy(),
+                px=z[f"kf{k}_px"].copy(), unpx=z[f"kf{k}_unpx"].copy(),
+                bv=z[f"kf{k}_bv"].copy(), lmid=z[f"kf{k}_lmid"].copy(),
+                valid=z[f"kf{k}_valid"].copy(), is3d=z[f"kf{k}_is3d"].copy(),
+                rpx=z[f"kf{k}_rpx"].copy(),
+                has_right=z[f"kf{k}_has_right"].copy(),
+                desc=z[f"kf{k}_desc"].copy(), desc_ok=z[f"kf{k}_desc_ok"].copy())
+            m.covis.setdefault(k, {})
+        for lmid, kf in zip(z["obs_lm"], z["obs_kf"]):
+            m.lm_obs.setdefault(int(lmid), set()).add(int(kf))
+        for k in list(m.keyframes):
+            m.update_covisibility(k)
+        m._device_dirty = True
+        return m

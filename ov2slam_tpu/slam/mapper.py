@@ -38,16 +38,23 @@ class StereoMatchResult(NamedTuple):
     disp: jnp.ndarray       # (K,) disparity proxy (left.x - right.x)
 
 
-@functools.partial(jax.jit, static_argnames=("cellsize",))
+@functools.partial(jax.jit, static_argnames=("cellsize", "detector", "fast_th"))
 def detect_keypoints(
     img: jnp.ndarray,
     kps: FrameKps,
     cellsize: int,
     quality_th: jnp.ndarray,
+    detector: str = "singlescale",
+    fast_th: int = 10,
 ) -> det_mod.GridDetection:
     """Grid detection masked by current keypoints (MapManager::
-    extractKeypoints, map_manager.cpp:286-341)."""
-    resp = det_mod.min_eig_response(img)
+    extractKeypoints, map_manager.cpp:286-341). detector selects the response
+    map: "singlescale"/"gftt" = Shi-Tomasi min-eig (detectSingleScale /
+    detectGFTT), "fast" = FAST-9 score (detectGridFAST)."""
+    if detector == "fast":
+        resp = det_mod.fast_score(img, float(fast_th))
+    else:
+        resp = det_mod.min_eig_response(img)
     return det_mod.grid_select(resp, kps.px, kps.valid, cellsize, quality_th)
 
 

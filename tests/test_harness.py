@@ -105,3 +105,37 @@ def test_cli_end_to_end(tmp_path):
     assert (out / "ov2slam_full_traj_wlc_opt.txt").exists()
     full = np.loadtxt(out / "ov2slam_full_traj_wlc_opt.txt")
     assert full.shape == (12, 8)
+
+
+def test_map_save_load(tmp_path):
+    from ov2slam_tpu.slam.manager import SlamSystem
+    frames_l, frames_r, _ = syn.render_sequence(n_frames=10)
+    slam = SlamSystem(SlamParams.from_dict(syn.slam_params_dict()))
+    for i in range(10):
+        slam.process_stereo(frames_l[i], frames_r[i], time=i * 0.05)
+    from ov2slam_tpu.slam.map import MapStore
+    p = tmp_path / "map.npz"
+    slam.map.save(str(p))
+    m2 = MapStore.load(str(p))
+    assert m2.n_3d() == slam.map.n_3d()
+    assert sorted(m2.keyframes) == sorted(slam.map.keyframes)
+    k = sorted(m2.keyframes)[-1]
+    np.testing.assert_array_equal(m2.keyframes[k].T_cw, slam.map.keyframes[k].T_cw)
+    np.testing.assert_array_equal(m2.lm_pos, slam.map.lm_pos)
+    # covisibility rebuilt consistently
+    assert m2.covis.keys() == slam.map.covis.keys()
+
+
+def test_viz_exports(tmp_path):
+    from ov2slam_tpu.slam.manager import SlamSystem
+    from ov2slam_tpu import viz
+    frames_l, frames_r, _ = syn.render_sequence(n_frames=6)
+    slam = SlamSystem(SlamParams.from_dict(syn.slam_params_dict()))
+    for i in range(6):
+        slam.process_stereo(frames_l[i], frames_r[i], time=i * 0.05)
+    viz.export_map_ply(slam, str(tmp_path))
+    ply = (tmp_path / "ov2slam_map_points.ply").read_text()
+    assert ply.startswith("ply")
+    assert int(ply.split("element vertex ")[1].split()[0]) == slam.map.n_3d()
+    img = viz.draw_track_image(frames_l[5], slam)
+    assert img.shape == (480, 752, 3)
