@@ -27,10 +27,20 @@ from ov2slam_tpu.opt.residuals import Calib
 from ov2slam_tpu.slam.map import MapStore
 from ov2slam_tpu.utils import fetch_np
 
-# static problem capacities (per-config; defaults suit EuRoC-scale windows)
+# problem capacity ceilings (per-config; defaults suit EuRoC-scale windows)
 BA_MAX_KFS = 24
 BA_MAX_LMS = 2048
 BA_MAX_OBS = 12288
+
+
+def _bucket(n: int, lo: int, hi: int) -> int:
+    """Round up to a power-of-two bucket in [lo, hi] — scatter/einsum cost in
+    the solver scales with PADDED sizes, so small windows should compile to
+    small problems (a handful of buckets => a handful of compiles)."""
+    b = lo
+    while b < min(n, hi):
+        b *= 2
+    return min(b, hi)
 
 
 @dataclass
@@ -102,9 +112,16 @@ class Estimator:
 
         kf_list = opt_kfs + const_kfs
         kf_slot = {kfid: i for i, kfid in enumerate(kf_list)}
-        F = max_kfs
-        L = max_lms
-        O = max_obs
+        F = _bucket(len(kf_list), 8, max_kfs)
+        L = _bucket(len(lm_set), 256, max_lms)
+        # observation count bound: every window kp can appear twice (L+R)
+        O = _bucket(
+            2 * sum(int((m.keyframes[k].valid & m.keyframes[k].is3d).sum())
+                    for k in kf_list if k in m.keyframes), 1024, max_obs)
+        kf_list = kf_list[:F]
+        kf_slot = {kfid: i for i, kfid in enumerate(kf_list)}
+        lm_set = lm_set[:L]
+        lm_in = set(lm_set)
 
         R = np.tile(np.eye(3, dtype=np.float32), (F, 1, 1))
         t = np.zeros((F, 3), np.float32)

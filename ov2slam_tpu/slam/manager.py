@@ -319,110 +319,77 @@ class SlamSystem:
         kfid = self.map.next_kf_id
         self.cur_kfid = kfid
         cur_pyr = self._cur_pyr()
-        img_l = cur_pyr[0]
 
-        # ---- detect new keypoints in free cells ----
-        with self.prof.scope("2.KF_Detect"):
+        # ---- the whole device side in ONE dispatch + ONE overlapped fetch
+        # (detect -> insert -> describe -> stereo match -> triangulate) ----
+        with self.prof.scope("2.KF_DeviceStep"):
+            nh = self.cam_l.height // p.nmaxdist
+            nw = self.cam_l.width // p.nmaxdist
+            n_cells = nh * nw
+            cand_ids = self.map.alloc_landmarks(n_cells)
             detector = "fast" if p.use_fast else "singlescale"
-            det = mapper_mod.detect_keypoints(
-                img_l, self.kps, p.nmaxdist,
-                jnp.asarray(self.detector_quality
-                            if detector != "fast" else float(p.nfast_th)),
-                detector=detector, fast_th=p.nfast_th)
-            det_valid, det_pts, det_scores, kp_valid_np = fetch_np(
-                det.valid, det.points, det.scores, self.kps.valid)
-            n_free_slots = int(self.kp_cap - kp_valid_np.sum())
-            order = np.argsort(-det_scores)
-            accept = np.zeros_like(det_valid)
-            budget = min(n_free_slots, int(det_valid.sum()))
-            taken = 0
-            for i in order:
-                if taken >= budget:
-                    break
-                if det_valid[i]:
-                    accept[i] = True
-                    taken += 1
-            # adaptive quality state (feature_extractor.cpp:421-426)
-            n_cells = det_valid.shape[0]
-            occupied = int(kp_valid_np.sum())
-            if not p.use_fast:
-                self.detector_quality = det_mod.adaptive_quality_update(
-                    self.detector_quality, int(det_valid.sum()),
-                    max(n_cells - occupied, 1))
-
-            if taken > 0:
-                new_lmids = np.full(n_cells, -1, np.int32)
-                ids = self.map.alloc_landmarks(taken)
-                new_lmids[accept] = ids
-                self._set_kps(frame_mod.insert_keypoints(
-                    self.kps, self.cam_l, jnp.asarray(det_pts),
-                    jnp.asarray(accept), jnp.asarray(new_lmids)))
-
-        # ---- describe ----
-        with self.prof.scope("2.KF_Describe"):
-            desc, desc_ok = mapper_mod.describe_frame(img_l, self.kps)
-            desc_np, desc_ok_np = fetch_np(desc, desc_ok)
-
-        # ---- stereo matching + triangulation ----
-        if not stereo:
-            kp_lmid, kp_valid, kp_is3d = fetch_np(
-                self.kps.lmid, self.kps.valid, self.kps.is3d)
-        else:
-          with self.prof.scope("2.KF_Stereo"):
-            right_pyr = fe_mod.preprocess(
-                jax.device_put(np.ascontiguousarray(imr).astype(np.uint8)),
-                p.nklt_pyr_lvl, p.use_clahe, p.fclahe_val)
+            if stereo:
+                right_pyr = fe_mod.preprocess(
+                    jax.device_put(np.ascontiguousarray(imr).astype(np.uint8)),
+                    p.nklt_pyr_lvl, p.use_clahe, p.fclahe_val)
+            else:
+                right_pyr = cur_pyr
             lm_pos, lm_is3d = self.map.device_landmarks()
-            sm = mapper_mod.stereo_match(
+            res = mapper_mod.kf_step(
                 cur_pyr, right_pyr, self.kps, lm_pos, lm_is3d,
                 self.cam_l, self.cam_r,
                 jnp.asarray(self.T_cw[:3, :3]), jnp.asarray(self.T_cw[:3, 3]),
                 self.T_rl.R, self.T_rl.t,
-                jnp.asarray(self.median_depth, jnp.float32),
+                jnp.asarray(np.float32(
+                    self.detector_quality if detector != "fast"
+                    else float(p.nfast_th))),
+                jnp.asarray(cand_ids.astype(np.int32)),
+                jnp.asarray(np.float32(self.median_depth)),
+                cellsize=p.nmaxdist, detector=detector, fast_th=p.nfast_th,
                 nlevels=p.nklt_pyr_lvl, win=p.nklt_win_size,
                 max_iters=p.nmax_iter, fb_dist=p.fmax_fbklt_dist,
-                klt_err=p.nklt_err, epi_th_px=p.fepi_th)
-            tri = mapper_mod.triangulate_stereo(
-                self.kps, sm.rpx, sm.ok, self.cam_r,
-                jnp.asarray(self.T_cw[:3, :3]), jnp.asarray(self.T_cw[:3, 3]),
-                self.T_rl.R, self.T_rl.t)
+                klt_err=p.nklt_err, epi_th_px=p.fepi_th, stereo=stereo)
+            self._set_kps(res.kps)
+            kp = res.kps
+            (k_px, k_unpx, k_bv, k_lmid, k_valid, k_is3d, k_rpx, k_hr,
+             desc_np, desc_ok_np, tri_ok, Xw_np, depth_np, med_depth) = fetch_np(
+                kp.px, kp.unpx, kp.bv, kp.lmid, kp.valid, kp.is3d, kp.rpx,
+                kp.has_right, res.desc, res.desc_ok, res.tri_ok, res.tri_Xw,
+                res.tri_depth, res.med_depth)
 
-            unrpx_dev = cam_mod.undistort_px(self.cam_r, sm.rpx)
-            (tri_ok, Xw_np, depth_np, kp_lmid, kp_valid, kp_is3d, kp_bv,
-             unrpx, sm_ok) = fetch_np(
-                tri.ok, tri.Xw, tri.depth, self.kps.lmid, self.kps.valid,
-                self.kps.is3d, self.kps.bv, unrpx_dev, sm.ok)
+        # ---- host registry updates from the fetched bundle ----
+        with self.prof.scope("2.KF_Registry"):
+            # candidate ids that actually landed in the table
+            used = np.isin(cand_ids, k_lmid[k_valid])
+            self.map.free_landmarks(cand_ids[~used])
+            n_new = int(used.sum())
+            if not p.use_fast:
+                occupied = int(k_valid.sum()) - n_new
+                self.detector_quality = det_mod.adaptive_quality_update(
+                    self.detector_quality, n_new,
+                    max(n_cells - occupied, 1))
 
-            # only triangulate kps that are not yet 3D (the reference keeps
-            # existing landmark positions; BA refines them)
-            newly = tri_ok & kp_valid & ~kp_is3d & (kp_lmid >= 0)
-            if newly.any():
-                ids = kp_lmid[newly]
-                bearings = kp_bv[newly] / np.maximum(kp_bv[newly][:, 2:], 1e-9)
-                self.map.set_positions(
-                    ids, Xw_np[newly], anchor_kf=kfid, bearings=bearings,
-                    lams=1.0 / np.maximum(depth_np[newly], 1e-6))
-            good_d = depth_np[tri_ok & kp_valid]
-            if len(good_d) > 5:
-                self.median_depth = float(np.median(good_d))
-
-            # stereo observation bookkeeping: store UNDISTORTED right px for BA
-            has_right = sm_ok & kp_valid
-            self._set_kps(self.kps._replace(
-                is3d=self.kps.valid & (self.kps.is3d | jnp.asarray(newly)),
-                rpx=jnp.asarray(
-                    np.where(has_right[:, None], unrpx, 0.0).astype(np.float32)),
-                has_right=jnp.asarray(has_right)))
+            if stereo:
+                # newly triangulated = stereo success on a not-yet-3d landmark
+                sl = np.clip(k_lmid, 0, self.map.cap - 1)
+                was3d = self.map.lm_is3d[sl] & (k_lmid >= 0)
+                newly = tri_ok & k_valid & (k_lmid >= 0) & ~was3d
+                if newly.any():
+                    ids = k_lmid[newly]
+                    bearings = k_bv[newly] / np.maximum(k_bv[newly][:, 2:], 1e-9)
+                    self.map.set_positions(
+                        ids, Xw_np[newly], anchor_kf=kfid, bearings=bearings,
+                        lams=1.0 / np.maximum(depth_np[newly], 1e-6))
+                self.median_depth = float(med_depth)
 
         # ---- temporal triangulation of leftover 2D kps ----
         with self.prof.scope("2.KF_TemporalTri"):
             self._temporal_triangulation(kfid)
 
-        # ---- record keyframe ----
-        kp = self.kps
-        (k_px, k_unpx, k_bv, k_lmid, k_valid, k_is3d, k_rpx, k_hr) = fetch_np(
-            kp.px, kp.unpx, kp.bv, kp.lmid, kp.valid, kp.is3d, kp.rpx,
-            kp.has_right)
+        # ---- record keyframe (arrays already fetched; temporal
+        # triangulation only flips is3d flags, which we mirror on host) ----
+        sl = np.clip(k_lmid, 0, self.map.cap - 1)
+        k_is3d = k_valid & (k_lmid >= 0) & self.map.lm_is3d[sl]
         rec = KeyframeRecord(
             kfid=kfid, time=time, T_cw=self.T_cw.copy(),
             px=k_px, unpx=k_unpx, bv=k_bv, lmid=k_lmid,
@@ -437,7 +404,7 @@ class SlamSystem:
         # covisibility-local map into this KF and merging matches ----
         if p.bdo_track_localmap and len(self.map.keyframes) >= 3:
             with self.prof.scope("2.KF_MatchLocalMap"):
-                self._match_local_map(kfid, rec, desc, desc_ok)
+                self._match_local_map(kfid, rec, res.desc, res.desc_ok)
 
         # ---- local BA + filtering (Estimator thread, estimator.cpp) ----
         if run_ba and p.slam_mode and len(self.map.keyframes) >= 2:

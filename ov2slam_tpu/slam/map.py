@@ -86,6 +86,18 @@ class MapStore:
         self._device_dirty = True
         return ids
 
+    def free_landmarks(self, lmids):
+        """Return never-used candidate ids to the free list (no observations
+        or keyframe references exist yet)."""
+        for i in lmids:
+            i = int(i)
+            if self.lm_valid[i]:
+                self.lm_valid[i] = False
+                self.lm_is3d[i] = False
+                self.lm_obs.pop(i, None)
+                self._free.append(i)
+        self._device_dirty = True
+
     def remove_landmark(self, lmid: int):
         if not self.lm_valid[lmid]:
             return

@@ -263,3 +263,101 @@ def match_to_local_map(
     ok = vis & (bestd <= th) & (bestd <= ratio * secondd)
     return LocalMapMatchResult(
         kp_slot=jnp.where(ok, best.astype(jnp.int32), -1), ok=ok)
+
+
+class KFStepResult(NamedTuple):
+    """Everything the host needs from one keyframe's device work."""
+    kps: FrameKps            # updated keypoint table (new detections, stereo)
+    desc: jnp.ndarray        # (K, 8) uint32
+    desc_ok: jnp.ndarray     # (K,)
+    tri_ok: jnp.ndarray      # (K,) stereo-triangulation success
+    tri_Xw: jnp.ndarray      # (K, 3)
+    tri_depth: jnp.ndarray   # (K,)
+    med_depth: jnp.ndarray   # scalar — median stereo depth (prior update)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cellsize", "detector", "fast_th", "nlevels", "win",
+                     "max_iters", "stereo"),
+    donate_argnums=(2,),
+)
+def kf_step(
+    left_pyr: Tuple[jnp.ndarray, ...],
+    right_pyr: Tuple[jnp.ndarray, ...],
+    kps: FrameKps,
+    lm_pos: jnp.ndarray,
+    lm_is3d: jnp.ndarray,
+    cam_l: Camera,
+    cam_r: Camera,
+    R_cw: jnp.ndarray,
+    t_cw: jnp.ndarray,
+    R_rl: jnp.ndarray,
+    t_rl: jnp.ndarray,
+    quality_th: jnp.ndarray,
+    cand_lmids: jnp.ndarray,      # (C,) fresh landmark ids, one per grid cell
+    depth_prior: jnp.ndarray,
+    cellsize: int,
+    detector: str = "singlescale",
+    fast_th: int = 10,
+    nlevels: int = 3,
+    win: int = 9,
+    max_iters: int = 30,
+    fb_dist: float = 0.5,
+    klt_err: float = 30.0,
+    epi_th_px: float = 2.0,
+    stereo: bool = True,
+) -> KFStepResult:
+    """The whole device side of keyframe creation in ONE dispatch:
+    grid detection -> keypoint insertion -> BRIEF description -> stereo
+    matching -> stereo triangulation. The host commits the results to the
+    map registry from a single overlapped fetch (the KF path previously had
+    ~6 separate dispatch+fetch groups; each blocking round trip costs ~30 ms
+    on the tunneled TPU)."""
+    img = left_pyr[0]
+
+    # ---- detect + insert ----
+    if detector == "fast":
+        resp = det_mod.fast_score(img, float(fast_th))
+    else:
+        resp = det_mod.min_eig_response(img)
+    det = det_mod.grid_select(resp, kps.px, kps.valid, cellsize, quality_th)
+    kps2 = None
+    from ov2slam_tpu.slam import frame as frame_mod
+    kps2 = frame_mod.insert_keypoints(
+        kps, cam_l, det.points, det.valid, cand_lmids)
+
+    # ---- describe ----
+    desc, desc_ok = desc_mod.describe_brief(img, kps2.px, kps2.valid)
+
+    if not stereo:
+        z = jnp.zeros(kps2.cap, img.dtype)
+        return KFStepResult(
+            kps=kps2, desc=desc, desc_ok=desc_ok,
+            tri_ok=jnp.zeros(kps2.cap, bool),
+            tri_Xw=jnp.zeros((kps2.cap, 3), img.dtype), tri_depth=z,
+            med_depth=depth_prior)
+
+    # ---- stereo match + triangulate ----
+    sm = stereo_match(
+        left_pyr, right_pyr, kps2, lm_pos, lm_is3d, cam_l, cam_r,
+        R_cw, t_cw, R_rl, t_rl, depth_prior,
+        nlevels=nlevels, win=win, max_iters=max_iters, fb_dist=fb_dist,
+        klt_err=klt_err, epi_th_px=epi_th_px)
+    tri = triangulate_stereo(kps2, sm.rpx, sm.ok, cam_r, R_cw, t_cw, R_rl, t_rl)
+
+    good = tri.ok & kps2.valid
+    med = jnp.nanmedian(jnp.where(good, tri.depth, jnp.nan))
+    med = jnp.where(jnp.isfinite(med) & (jnp.sum(good) > 5), med, depth_prior)
+
+    slot = jnp.clip(kps2.lmid, 0, lm_pos.shape[0] - 1)
+    newly = tri.ok & kps2.valid & (kps2.lmid >= 0) & ~(kps2.is3d & lm_is3d[slot])
+    unrpx = cam_mod.undistort_px(cam_r, sm.rpx)
+    has_right = sm.ok & kps2.valid
+    kps3 = kps2._replace(
+        is3d=kps2.valid & (kps2.is3d | newly),
+        rpx=jnp.where(has_right[:, None], unrpx, 0.0).astype(unrpx.dtype),
+        has_right=has_right)
+    return KFStepResult(
+        kps=kps3, desc=desc, desc_ok=desc_ok, tri_ok=tri.ok,
+        tri_Xw=tri.Xw, tri_depth=tri.depth, med_depth=med)
