@@ -164,7 +164,7 @@ class SlamParams:
     # Fixed keypoint-table capacity per frame (padded; >= nbmaxkps).
     kp_capacity: int = 0          # 0 = derive from nbmaxkps, rounded up
     # Fixed landmark / keyframe arena capacities for the device map store.
-    lm_capacity: int = 1 << 16
+    lm_capacity: int = 1 << 14
     kf_capacity: int = 1 << 11
     dtype: str = "float32"
 

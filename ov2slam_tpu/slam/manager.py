@@ -71,6 +71,28 @@ class SlamSystem:
         else:
             self.T_rl = SE3.identity()
 
+        # optional stereo rectification (bdo_stereo_rect): precompute remap
+        # grids once (camera_calibration.cpp setUndistStereoMap semantics);
+        # after rectification both cameras share K_new and zero distortion,
+        # and the extrinsic becomes a pure x-baseline.
+        self.rect_maps = None
+        if p.bdo_stereo_rect and p.stereo and (
+                np.abs([p.k1l, p.k2l, p.k1r, p.k2r]).max() > 1e-9
+                or p.T_left_right is not None
+                and np.abs(np.asarray(p.T_left_right)[:3, :3] - np.eye(3)).max() > 1e-6):
+            R1, R2, K_new, fb = cam_mod.stereo_rectify(
+                self.cam_l, self.cam_r, self.T_rl, alpha=p.alpha)
+            g_l = cam_mod.compute_undist_rect_map(
+                self.cam_l, R_rect=R1, K_new=jnp.asarray(K_new, jnp.float32))
+            g_r = cam_mod.compute_undist_rect_map(
+                self.cam_r, R_rect=R2, K_new=jnp.asarray(K_new, jnp.float32))
+            self.rect_maps = (jnp.asarray(g_l), jnp.asarray(g_r))
+            self.cam_l = cam_mod.camera_with_intrinsics(self.cam_l, K_new, zero_dist=True)
+            self.cam_r = cam_mod.camera_with_intrinsics(self.cam_r, K_new, zero_dist=True)
+            baseline = float(np.linalg.norm(np.asarray(self.T_rl.t)))
+            self.T_rl = SE3(jnp.eye(3, dtype=jnp.float32),
+                            jnp.asarray([-baseline, 0.0, 0.0], jnp.float32))
+
         self.kp_cap = p.kp_cap
         self.logger = TrajectoryLogger()
         self.prof = Profiler.instance()
@@ -123,6 +145,9 @@ class SlamSystem:
         of SlamManager::run, ov2slam.cpp:116-237)."""
         p = self.params
         self.frame_id += 1
+        if self.rect_maps is not None:
+            iml = self._rectify(iml, 0)
+            imr = self._rectify(imr, 1)
         img_u8 = jax.device_put(np.ascontiguousarray(iml).astype(np.uint8))
 
         with self.prof.scope("0.Full-Front_End"):
@@ -179,6 +204,12 @@ class SlamSystem:
             T_wkf = np.linalg.inv(self.map.keyframes[self.cur_kfid].T_cw)
         self.logger.add(time, self.T_wc(), need_kf, self.cur_kfid, T_wkf)
         return self.T_wc()
+
+    def _rectify(self, img: np.ndarray, cam_idx: int) -> np.ndarray:
+        from ov2slam_tpu.ops import image as im_mod
+        out = im_mod.remap_bilinear(
+            jnp.asarray(np.asarray(img, np.float32)), self.rect_maps[cam_idx])
+        return np.asarray(out)
 
     def T_wc(self) -> np.ndarray:
         return np.linalg.inv(self.T_cw.astype(np.float64)).astype(np.float32)
@@ -561,22 +592,33 @@ class SlamSystem:
             jnp.asarray(anc_R), jnp.asarray(anc_t), jnp.asarray(anc_bv),
             jnp.asarray(anc_ok), self.cam_l,
             max_reproj_px=p.fmax_reproj_err)
-        ok = np.asarray(tri.ok) & kp_valid & ~kp_is3d
+        tri_ok_np, tri_Xw_np, tri_da_np = fetch_np(tri.ok, tri.Xw, tri.depth_anchor)
+        ok = tri_ok_np & kp_valid & ~kp_is3d
         if not ok.any():
             return
-        Xw = np.asarray(tri.Xw)
+        # batch the registry commit (one set_positions per anchor keyframe)
+        by_anchor = {}
         for s in np.nonzero(ok)[0]:
             lmid = int(kp_lmid[s])
             first_kf = min(self.map.lm_obs[lmid])
             rec = self.map.keyframes[first_kf]
             slot = rec.kp_slot_of(lmid)
+            if slot < 0:
+                ok[s] = False
+                continue
             b = rec.bv[slot]
+            by_anchor.setdefault(first_kf, []).append(
+                (lmid, tri_Xw_np[s], b / max(b[2], 1e-9),
+                 1.0 / max(float(tri_da_np[s]), 1e-6), rec, slot))
+        for first_kf, rows in by_anchor.items():
+            ids = np.asarray([r[0] for r in rows])
             self.map.set_positions(
-                np.asarray([lmid]), Xw[s][None],
+                ids, np.stack([r[1] for r in rows]),
                 anchor_kf=first_kf,
-                bearings=(b / max(b[2], 1e-9))[None],
-                lams=np.asarray([1.0 / max(float(tri.depth_anchor[s]), 1e-6)]))
-            rec.is3d[slot] = True
+                bearings=np.stack([r[2] for r in rows]),
+                lams=np.asarray([r[3] for r in rows]))
+            for r in rows:
+                r[4].is3d[r[5]] = True
         self._set_kps(self.kps._replace(is3d=self.kps.is3d | jnp.asarray(ok)))
 
     # ------------------------------------------------------------------

@@ -139,3 +139,54 @@ def test_viz_exports(tmp_path):
     assert int(ply.split("element vertex ")[1].split()[0]) == slam.map.n_3d()
     img = viz.draw_track_image(frames_l[5], slam)
     assert img.shape == (480, 752, 3)
+
+
+def test_stereo_rectification_pipeline():
+    """bdo_stereo_rect: distorted+rotated stereo inputs, rectified on the fly
+    (camera_calibration.cpp setUndistStereoMap path)."""
+    import jax.numpy as jnp
+    from ov2slam_tpu.slam.manager import SlamSystem
+    from ov2slam_tpu.core import camera as cm, lie
+
+    # render clean frames, then distort them + rotate the right cam slightly
+    frames_l, frames_r, poses_gt = syn.render_sequence(n_frames=14, step=0.05)
+    d = syn.slam_params_dict()
+    d["bdo_stereo_rect"] = 1
+    k1 = -0.12
+    d["Camera.k1l"] = k1
+    d["Camera.k1r"] = k1
+    cam = cm.Camera.make("pinhole", syn.FX, syn.FY, syn.CX, syn.CY,
+                         np.array([k1, 0, 0, 0], np.float32), syn.W, syn.H)
+    # distortion warp: build the map from undistorted -> distorted source...
+    # rendering "distorted" images = sampling the clean image at the
+    # undistorted location of each distorted pixel
+    grid = np.asarray(cm.compute_undist_rect_map(cam))
+    import cv2 as _cv2
+    # invert: we want distorted(px) = clean(undist(px)); compute_undist_rect_map
+    # gives for each (rectified/undistorted) output pixel its distorted source.
+    # For generating distorted images we need the opposite mapping; approximate
+    # with cv2.initInverseRectificationMap-free remap by swapping roles:
+    us = np.arange(syn.W, dtype=np.float32)
+    vs = np.arange(syn.H, dtype=np.float32)
+    uu, vv = np.meshgrid(us, vs)
+    px = np.stack([uu.ravel(), vv.ravel()], -1)
+    unpx = np.asarray(cm.undistort_px(cam, jnp.asarray(px))).reshape(syn.H, syn.W, 2)
+    def distort_img(img):
+        return _cv2.remap(img, unpx[..., 0], unpx[..., 1], _cv2.INTER_LINEAR,
+                          borderMode=_cv2.BORDER_REPLICATE)
+    dl = [distort_img(f) for f in frames_l]
+    dr = [distort_img(f) for f in frames_r]
+
+    slam = SlamSystem(SlamParams.from_dict(d))
+    assert slam.rect_maps is not None
+    est = []
+    for i in range(14):
+        T = slam.process_stereo(dl[i], dr[i], time=i * 0.05)
+        est.append(T.copy())
+    assert slam.initialized
+    est_t = np.stack([T[:3, 3] for T in est])
+    gt_t = np.stack([p[:3, 3] for p in poses_gt[:14]])
+    # tracks with correct metric scale through the rectification path
+    path_est = np.linalg.norm(np.diff(est_t, axis=0), axis=1).sum()
+    path_gt = np.linalg.norm(np.diff(gt_t, axis=0), axis=1).sum()
+    assert abs(path_est - path_gt) / path_gt < 0.2
