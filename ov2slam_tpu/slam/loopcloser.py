@@ -33,6 +33,8 @@ from ov2slam_tpu.slam import bow
 from ov2slam_tpu.slam import frontend as fe_mod
 from ov2slam_tpu.slam.map import MapStore
 
+LOOSE_BA_MIN_JUMP = 0.02     # reference: loop_closer.cpp:368
+
 
 @dataclass
 class LoopClosureEvent:
@@ -44,9 +46,10 @@ class LoopClosureEvent:
 
 
 class LoopCloser:
-    def __init__(self, params: SlamParams, cam_l: Camera):
+    def __init__(self, params: SlamParams, cam_l: Camera, estimator=None):
         self.params = params
         self.cam_l = cam_l
+        self.estimator = estimator
         self.detector = bow.LCDetector()
         self.last_closure_kf = -10
 
@@ -172,6 +175,22 @@ class LoopCloser:
             m.merge_landmarks(lm, src)
             n_merged += 1
         m.update_covisibility(kfid)
+
+        # ---- loose BA over the loop span when the correction was large
+        # (reference: looseBA, optimizer.cpp:900-1673, triggered at
+        # pose error >= 0.02, loop_closer.cpp:368) ----
+        if self.estimator is not None and jump >= LOOSE_BA_MIN_JUMP:
+            span = sorted(k for k in m.keyframes if match_kf <= k <= kfid)
+            if len(span) >= 3:
+                saved = dict(m.covis.get(kfid, {}))
+                try:
+                    m.covis[kfid] = {k: 10_000 for k in span[-62:] if k != kfid}
+                    self.estimator.local_ba_with_caps(
+                        m, kfid, max_kfs=64, max_lms=8192, max_obs=32768,
+                        max_iters=5)
+                finally:
+                    m.covis[kfid] = saved
+                self._recompute_landmarks(m)
 
         return LoopClosureEvent(
             query_kf=kfid, match_kf=match_kf, n_inliers=n_inl,

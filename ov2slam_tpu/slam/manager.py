@@ -107,7 +107,8 @@ class SlamSystem:
         self.map = MapStore(p.lm_capacity)
         self.estimator = Estimator(
             p, fe_mod.calib_of(self.cam_l), fe_mod.calib_of(self.cam_r), self.T_rl)
-        self.loopcloser = LoopCloser(p, self.cam_l) if p.buse_loop_closer else None
+        self.loopcloser = (LoopCloser(p, self.cam_l, self.estimator)
+                           if p.buse_loop_closer else None)
         self.last_loop_event = None
         self.fe_state: Optional[fe_mod.FEState] = None
         self.T_cw = np.eye(4, dtype=np.float32)
@@ -187,6 +188,10 @@ class SlamSystem:
             T[:3, :3] = _mat_from_quat_np(stats_np[8:12])
             T[:3, 3] = stats_np[5:8]
             self.T_cw = T
+        elif n_3d >= 10 and self.initialized:
+            # P3P-RANSAC recovery when the prior-seeded PnP failed
+            # (reference: p3pRansac path, visual_front_end.cpp:659-851)
+            pose_ok = self._try_p3p_recovery()
 
         need_kf = fe_mod.check_new_kf(
             p, n_tracked, n_3d, parallax,
@@ -213,6 +218,35 @@ class SlamSystem:
 
     def T_wc(self) -> np.ndarray:
         return np.linalg.inv(self.T_cw.astype(np.float64)).astype(np.float32)
+
+    # ------------------------------------------------------------------
+    def _try_p3p_recovery(self) -> bool:
+        """Pose recovery via P3P-RANSAC + robust PnP against the current 3D
+        keypoints when prior-seeded PnP failed."""
+        from ov2slam_tpu.ops import mvg
+        from ov2slam_tpu.opt import pnp as pnp_mod
+        lm_pos, lm_is3d = self.map.device_landmarks()
+        kps = self.kps
+        slot = jnp.clip(kps.lmid, 0, self.map.cap - 1)
+        mask = kps.valid & kps.is3d & lm_is3d[slot] & (kps.lmid >= 0)
+        Xw = lm_pos[slot]
+        focal = float(self.cam_l.fx + self.cam_l.fy) * 0.5
+        T_est, inl, n_in, okflag = mvg.p3p_ransac(
+            Xw, kps.bv, mask, jax.random.PRNGKey(self.frame_id),
+            err_th_norm=self.params.fransac_err / focal, n_hyps=512)
+        pnp = pnp_mod.pnp_robust_then_l2(
+            fe_mod.calib_of(self.cam_l), T_est, Xw, kps.unpx, inl,
+            robust_th2=self.params.robust_mono_th)
+        ok, R_np, t_np, n_inl = fetch_np(
+            okflag, pnp.T_cw.R, pnp.T_cw.t, pnp.n_inliers)
+        if not bool(ok) or int(n_inl) < 5:
+            return False
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = R_np
+        T[:3, 3] = t_np
+        self.T_cw = T
+        self._sync_pose_to_device()
+        return True
 
     # ------------------------------------------------------------------
     def process_mono(self, im: np.ndarray, time: float) -> np.ndarray:
