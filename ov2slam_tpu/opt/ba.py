@@ -281,34 +281,50 @@ def solve_ba(
             return T_new.R, T_new.t, Xw, lam_new
         return T_new.R, T_new.t, Xw + dl, lam
 
-    cost0 = eval_cost(p.R, p.t, p.Xw, p.lam)
+    # LM with ONE normal-equation build per iteration: the carry holds the
+    # best-so-far parameters AND their normal equations, so a rejected trial
+    # re-solves the stored system with more damping instead of rebuilding.
+    normals0 = build(p.R, p.t, p.Xw, p.lam)
+    cost0 = normals0[-1]
 
     def lm_cond(state):
-        it, _, _, _, _, _, done = state
+        it = state[0]
+        done = state[-1]
         return (it < max_iters) & ~done
 
     def lm_body(state):
-        it, R, t, Xw, lam, damp, _ = state
-        Hpp, bp, Hll, bl, W, cost = build(R, t, Xw, lam)
-        dxp, dl = solve_step(Hpp, bp, Hll, bl, W, damp)
-        Rn, tn, Xn, ln = apply_step(R, t, Xw, lam, dxp, dl)
-        cost_new = eval_cost(Rn, tn, Xn, ln)
-        better = cost_new < cost
-        R_o = jnp.where(better, Rn, R)
-        t_o = jnp.where(better, tn, t)
-        X_o = jnp.where(better, Xn, Xw)
-        l_o = jnp.where(better, ln, lam)
-        damp_o = jnp.clip(jnp.where(better, damp * 0.5, damp * 10.0), 1e-8, 1e6)
+        (it, best, best_normals, best_cost, trial, damp, _) = state
+        Hpp_t, bp_t, Hll_t, bl_t, W_t, cost_t = build(*trial)
+        better = cost_t < best_cost
+        pick = lambda a, b: jnp.where(better, a, b)
+        best = tuple(pick(a, b) for a, b in zip(trial, best))
+        best_normals = tuple(
+            pick(a, b) for a, b in
+            zip((Hpp_t, bp_t, Hll_t, bl_t, W_t), best_normals))
+        best_cost = jnp.minimum(cost_t, best_cost)
+        damp = jnp.clip(
+            jnp.where(better, damp * 0.5, damp * 10.0), 1e-8, 1e6)
+        dxp, dl = solve_step(*best_normals, damp)
+        Rn, tn, Xn, ln = apply_step(*best, dxp, dl)
         small = jnp.sum(dxp * dxp) + jnp.sum(dl * dl) < 1e-14
-        return it + 1, R_o, t_o, X_o, l_o, damp_o, small
+        return (it + 1, best, best_normals, best_cost, (Rn, tn, Xn, ln),
+                damp, small)
 
-    it, R_f, t_f, X_f, lam_f, _, _ = jax.lax.while_loop(
+    params0 = (p.R, p.t, p.Xw, p.lam)
+    dxp0, dl0 = solve_step(*normals0[:5], jnp.asarray(lam0, dt))
+    trial0 = apply_step(*params0, dxp0, dl0)
+    it, best_f, _, _, trial_f, _, _ = jax.lax.while_loop(
         lm_cond, lm_body,
-        (jnp.asarray(0), p.R, p.t, p.Xw, p.lam, jnp.asarray(lam0, dt),
-         jnp.asarray(False)),
+        (jnp.asarray(1), params0, normals0[:5], cost0, trial0,
+         jnp.asarray(lam0, dt), jnp.asarray(False)),
     )
-
-    cost_f = eval_cost(R_f, t_f, X_f, lam_f)
+    # the final trial may beat the best-so-far; evaluate and take the winner
+    cost_trial = eval_cost(*trial_f)
+    cost_best = eval_cost(*best_f)
+    take_trial = cost_trial < cost_best
+    R_f, t_f, X_f, lam_f = tuple(
+        jnp.where(take_trial, a, b) for a, b in zip(trial_f, best_f))
+    cost_f = jnp.minimum(cost_trial, cost_best)
 
     # final chi2 / depth-positivity sweep (optimizer.cpp:488-627)
     r, _, _, _, pos = _residuals_all(p, R_f, t_f, X_f, lam_f, invdepth)

@@ -157,16 +157,21 @@ def track_frame(
         par_p = jnp.linalg.norm(kps2.unpx - rot_px_p, axis=-1)
         avg_par = jnp.sum(jnp.where(kps2.valid, par_p, 0.0)) / jnp.maximum(
             jnp.sum(kps2.valid), 1)
-        eres = mvg.essential_ransac(
-            prev_bv, kps2.bv, kps2.valid, key,
-            err_th=fransac_err / focal, n_hyps=256)
-        # never let a degenerate model kill most of the tracks
-        keep_ratio = jnp.sum(eres.inliers) / jnp.maximum(jnp.sum(kps2.valid), 1)
-        apply = (
-            (n_tracked >= 16) & eres.success
-            & (avg_par > 2.0 * fransac_err) & (keep_ratio > 0.5)
-        )
-        keep = jnp.where(apply, eres.inliers, kps2.valid)
+        gate = (n_tracked >= 16) & (avg_par > 2.0 * fransac_err)
+
+        def run_ransac(_):
+            eres = mvg.essential_ransac(
+                prev_bv, kps2.bv, kps2.valid, key,
+                err_th=fransac_err / focal, n_hyps=256)
+            keep_ratio = jnp.sum(eres.inliers) / jnp.maximum(
+                jnp.sum(kps2.valid), 1)
+            apply = eres.success & (keep_ratio > 0.5)
+            return jnp.where(apply, eres.inliers, kps2.valid)
+
+        # the RANSAC (256 batched 9x9 SVDs) only runs when the parallax gate
+        # passes — most frames skip it entirely
+        keep = jax.lax.cond(
+            gate, run_ransac, lambda _: kps2.valid, operand=None)
         kps2 = kps2._replace(valid=kps2.valid & keep)
 
     # ---- motion-only PnP on the 3D keypoints ----

@@ -461,8 +461,9 @@ class SlamSystem:
             valid=k_valid, is3d=k_is3d, rpx=k_rpx, has_right=k_hr,
             desc=desc_np, desc_ok=desc_ok_np)
         self.map.add_keyframe(rec)
-        for s in np.nonzero(rec.valid & desc_ok_np & (rec.lmid >= 0))[0]:
-            self.map.add_descriptor(int(rec.lmid[s]), desc_np[s])
+        dsl = np.nonzero(rec.valid & desc_ok_np & (rec.lmid >= 0))[0]
+        if len(dsl):
+            self.map.add_descriptors(rec.lmid[dsl], desc_np[dsl])
 
         # ---- local-map descriptor matching (Mapper::matchingToLocalMap,
         # mapper.cpp:576-774): recover lost map points by projecting the

@@ -60,6 +60,11 @@ class MapStore:
         self.lm_is3d = np.zeros((lm_capacity,), bool)
         self.lm_desc = np.zeros((lm_capacity, 8), np.uint32)
         self.lm_desc_ok = np.zeros((lm_capacity,), bool)
+        # per-bit vote counts for the "most representative descriptor"
+        # (map_point.cpp:164-213 keeps the min-median-distance descriptor;
+        # bitwise majority over all observations approximates it in O(1))
+        self.lm_bit_votes = np.zeros((lm_capacity, 256), np.uint16)
+        self.lm_desc_n = np.zeros((lm_capacity,), np.uint16)
         # observation bookkeeping: lmid -> {kfid}
         self.lm_obs: Dict[int, Set[int]] = {}
         self._free: List[int] = list(range(lm_capacity - 1, -1, -1))
@@ -83,6 +88,8 @@ class MapStore:
         self.lm_valid[ids] = True
         self.lm_is3d[ids] = False
         self.lm_desc_ok[ids] = False
+        self.lm_bit_votes[ids] = 0
+        self.lm_desc_n[ids] = 0
         self._device_dirty = True
         return ids
 
@@ -134,11 +141,21 @@ class MapStore:
         self._device_dirty = True
 
     def add_descriptor(self, lmid: int, desc: np.ndarray):
-        """Keep the first/most recent descriptor (the reference maintains a
-        median-distance 'most representative' descriptor, map_point.cpp:
-        164-213; we keep latest-wins for now)."""
-        self.lm_desc[lmid] = desc
-        self.lm_desc_ok[lmid] = True
+        self.add_descriptors(np.asarray([lmid]), desc[None])
+
+    def add_descriptors(self, lmids: np.ndarray, descs: np.ndarray):
+        """Accumulate per-bit votes and refresh the majority-bit
+        representative descriptor (vectorized over all of a keyframe's
+        landmarks at once)."""
+        bits = np.unpackbits(
+            descs.astype(np.uint32).view(np.uint8), axis=1, bitorder="little")
+        self.lm_bit_votes[lmids] += bits.astype(np.uint16)
+        self.lm_desc_n[lmids] += 1
+        n = self.lm_desc_n[lmids][:, None]
+        maj = (2 * self.lm_bit_votes[lmids] >= n).astype(np.uint8)
+        packed = np.packbits(maj, axis=1, bitorder="little")
+        self.lm_desc[lmids] = packed.view(np.uint32).reshape(-1, 8)
+        self.lm_desc_ok[lmids] = True
 
     # ------------------------------------------------------------------
     # device mirrors
