@@ -165,6 +165,9 @@ class SlamParams:
     kp_capacity: int = 0          # 0 = derive from nbmaxkps, rounded up
     # Fixed landmark / keyframe arena capacities for the device map store.
     lm_capacity: int = 1 << 14
+    # Defer BA writeback by one keyframe (solve overlaps tracking). Slightly
+    # stales the map corrections; off by default.
+    async_ba: bool = False
     kf_capacity: int = 1 << 11
     dtype: str = "float32"
 

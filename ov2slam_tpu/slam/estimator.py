@@ -205,6 +205,37 @@ class Estimator:
             "obs_meta": obs_meta, "n_obs": n, "pose_opt": pose_opt}
 
     # ------------------------------------------------------------------
+    # Deferred (asynchronous) local BA — the reference's Estimator runs BA in
+    # its own thread concurrently with tracking (estimator.cpp:32-98); here
+    # the solve is dispatched at keyframe K and written back when keyframe
+    # K+1 arrives (or at flush), so the device crunches the Schur-LM while
+    # the host/device pipeline keeps tracking.
+    # ------------------------------------------------------------------
+
+    def begin_local_ba(self, m: MapStore, new_kfid: int, max_iters: int = 5):
+        built = self.build_problem(m, new_kfid)
+        if built is None:
+            return None
+        prob, kf_list, lm_ids, meta = built
+        p = self.params
+        result = ba_mod.solve_ba(
+            prob, invdepth=p.buse_inv_depth, max_iters=max_iters, robust=True,
+            th2_mono=p.robust_mono_th, th2_stereo=p.robust_stereo_th)
+        # start the transfers now; they complete while tracking continues
+        for a in (result.R, result.t, result.Xw, result.lam, result.obs_inlier):
+            try:
+                a.copy_to_host_async()
+            except AttributeError:
+                pass
+        return (prob, kf_list, lm_ids, meta, result)
+
+    def finalize_local_ba(self, m: MapStore, pending) -> BAOutcome:
+        out = BAOutcome()
+        if pending is None:
+            return out
+        prob, kf_list, lm_ids, meta, result = pending
+        return self._writeback(m, prob, kf_list, lm_ids, meta, result, out)
+
     def local_ba(self, m: MapStore, new_kfid: int, max_iters: int = 5) -> BAOutcome:
         built = self.build_problem(m, new_kfid)
         out = BAOutcome()
@@ -215,12 +246,14 @@ class Estimator:
         result = ba_mod.solve_ba(
             prob, invdepth=p.buse_inv_depth, max_iters=max_iters, robust=True,
             th2_mono=p.robust_mono_th, th2_stereo=p.robust_stereo_th)
+        return self._writeback(m, prob, kf_list, lm_ids, meta, result, out)
 
+    def _writeback(self, m, prob, kf_list, lm_ids, meta, result, out) -> BAOutcome:
         # ---- write back poses (one overlapped fetch for all outputs) ----
         R_np, t_np, Xw_np, lam_np, inl = fetch_np(
             result.R, result.t, result.Xw, result.lam, result.obs_inlier)
         for i, kfid in enumerate(kf_list):
-            if meta["pose_opt"][i]:
+            if meta["pose_opt"][i] and kfid in m.keyframes:
                 T = np.eye(4, dtype=np.float32)
                 T[:3, :3] = R_np[i]
                 T[:3, 3] = t_np[i]

@@ -121,6 +121,13 @@ class SlamSystem:
         self.cur_kfid = -1
         self.detector_quality = p.dmaxquality
         self.median_depth = 5.0
+        # pipelined (force_realtime) mode: stats of the in-flight frame are
+        # finalized when the NEXT frame arrives, hiding the ~30 ms round trip
+        # behind the next dispatch; BA is likewise dispatched at one KF and
+        # written back at the next
+        self._pending = None
+        self._pending_ba = None
+        self._pending_ba = None
 
     # ------------------------------------------------------------------
     @property
@@ -163,6 +170,12 @@ class SlamSystem:
                 self.logger.add(time, self.T_wc(), True, self.cur_kfid, T_wkf)
                 return self.T_wc()
 
+            # finalize the previous in-flight frame first (pipelined mode):
+            # its stats transfer completed while this frame was being read
+            if self._pending is not None:
+                self._finalize_frame(*self._pending)
+                self._pending = None
+
             lm_pos, lm_is3d = self.map.device_landmarks()
             self.fe_state, stats = fe_mod.frame_step(
                 self.fe_state, img_u8, lm_pos, lm_is3d, self.cam_l,
@@ -177,8 +190,21 @@ class SlamSystem:
                 stats.copy_to_host_async()
             except AttributeError:
                 pass
-            stats_np = np.asarray(stats)
 
+        if p.force_realtime and self.initialized:
+            # defer the blocking read to the next frame (or flush())
+            self._pending = (stats, iml, imr, time)
+            return self.T_wc()
+
+        self._finalize_frame(stats, iml, imr, time)
+        return self.T_wc()
+
+    # ------------------------------------------------------------------
+    def _finalize_frame(self, stats, iml, imr, time):
+        """Blocking half of frame processing: read the stats vector, update
+        the pose/log, decide + run keyframe processing."""
+        p = self.params
+        stats_np = np.asarray(stats)
         pose_ok = stats_np[0] > 0.5
         n_tracked = int(stats_np[1])
         n_3d = int(stats_np[2])
@@ -208,7 +234,23 @@ class SlamSystem:
         if self.cur_kfid in self.map.keyframes:
             T_wkf = np.linalg.inv(self.map.keyframes[self.cur_kfid].T_cw)
         self.logger.add(time, self.T_wc(), need_kf, self.cur_kfid, T_wkf)
-        return self.T_wc()
+
+    def flush(self):
+        """Finalize any in-flight frame + pending BA (pipelined mode)."""
+        if self._pending is not None:
+            self._finalize_frame(*self._pending)
+            self._pending = None
+        self._finalize_pending_ba()
+
+    def _finalize_pending_ba(self):
+        if self._pending_ba is not None:
+            self.estimator.finalize_local_ba(self.map, self._pending_ba)
+            self._pending_ba = None
+            kfid = self.cur_kfid
+            if kfid in self.map.keyframes:
+                self.T_cw = self.map.keyframes[kfid].T_cw.copy()
+            self._refresh_kp_3d_flags()
+        self._pending_ba = None
 
     def _rectify(self, img: np.ndarray, cam_idx: int) -> np.ndarray:
         from ov2slam_tpu.ops import image as im_mod
@@ -475,10 +517,18 @@ class SlamSystem:
         # ---- local BA + filtering (Estimator thread, estimator.cpp) ----
         if run_ba and p.slam_mode and len(self.map.keyframes) >= 2:
             with self.prof.scope("1.BA_localBA"):
-                self.estimator.local_ba(self.map, kfid)
-                # propagate optimized pose of this KF to the live frame
-                self.T_cw = self.map.keyframes[kfid].T_cw.copy()
-                self._refresh_kp_3d_flags()
+                if p.async_ba:
+                    # deferred BA: finalize the previous KF's solve (its
+                    # transfers completed during tracking), dispatch this
+                    # KF's solve, write it back at the next KF
+                    self._finalize_pending_ba()
+                    self._pending_ba = self.estimator.begin_local_ba(
+                        self.map, kfid)
+                else:
+                    self.estimator.local_ba(self.map, kfid)
+                    # propagate optimized pose of this KF to the live frame
+                    self.T_cw = self.map.keyframes[kfid].T_cw.copy()
+                    self._refresh_kp_3d_flags()
             with self.prof.scope("1.BA_MapFiltering"):
                 self.estimator.map_filtering(self.map, kfid)
 
@@ -663,6 +713,7 @@ class SlamSystem:
         then the LC-corrected full trajectory via KF-anchored relatives,
         ov2slam.cpp:624-701)."""
         import os
+        self.flush()
         self.logger.write_tum(os.path.join(out_dir, "ov2slam_traj.txt"))
         self.logger.write_kitti(os.path.join(out_dir, "ov2slam_traj_kitti.txt"))
         self.logger.write_tum(os.path.join(out_dir, "ov2slam_kfs_traj.txt"), kf_only=True)

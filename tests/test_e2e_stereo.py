@@ -80,3 +80,20 @@ def test_determinism(sequence):
             est.append(T.copy())
         outs.append(np.stack(est))
     np.testing.assert_array_equal(outs[0], outs[1])
+
+
+def test_force_realtime_pipelined(sequence, tmp_path):
+    """force_realtime pipelines the blocking stats read behind the next
+    frame's dispatch; the logged trajectory must stay accurate."""
+    frames_l, frames_r, poses_gt = sequence
+    d = syn.slam_params_dict()
+    d["force_realtime"] = 1
+    slam = SlamSystem(SlamParams.from_dict(d))
+    for i, (il, ir) in enumerate(zip(frames_l, frames_r)):
+        slam.process_stereo(il, ir, time=i * 0.05)
+    slam.flush()
+    assert len(slam.logger.poses_wc) == len(frames_l)
+    est_t = np.stack([T[:3, 3] for T in slam.logger.poses_wc])
+    gt_t = np.stack([T[:3, 3] for T in poses_gt])
+    err = ate_rmse(est_t, gt_t)
+    assert err < 0.05, f"pipelined ATE {err:.4f}"
