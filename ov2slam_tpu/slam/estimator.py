@@ -313,12 +313,17 @@ class Estimator:
             m.covis[newest] = saved
 
     def local_ba_with_caps(self, m, kfid, max_kfs, max_lms, max_obs,
-                           max_iters) -> BAOutcome:
+                           max_iters, structure_only: bool = False) -> BAOutcome:
         built = self.build_problem(m, kfid, max_kfs, max_lms, max_obs)
         out = BAOutcome()
         if built is None:
             return out
         prob, kf_list, lm_ids, meta = built
+        if structure_only:
+            # refine landmarks with every pose held fixed
+            # (Optimizer::structureOnlyBA, optimizer.cpp:2594-2782)
+            prob = prob._replace(pose_opt=jnp.zeros_like(prob.pose_opt))
+            meta["pose_opt"] = np.zeros_like(meta["pose_opt"])
         p = self.params
         result = ba_mod.solve_ba(
             prob, invdepth=p.buse_inv_depth, max_iters=max_iters, robust=True,

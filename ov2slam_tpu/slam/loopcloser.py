@@ -63,6 +63,8 @@ class LoopCloser:
             return None
         dmask = rec.valid & rec.desc_ok & (rec.lmid >= 0)
         descs = rec.desc[dmask]
+        if getattr(rec, "extra_desc", None) is not None and len(rec.extra_desc):
+            descs = np.concatenate([descs, rec.extra_desc], axis=0)
         cand = self.detector.process(kfid, descs)
         if cand is None:
             return None
@@ -175,6 +177,13 @@ class LoopCloser:
             m.merge_landmarks(lm, src)
             n_merged += 1
         m.update_covisibility(kfid)
+
+        # ---- structure-only refinement of the merged region
+        # (Optimizer::structureOnlyBA, loop_closer.cpp:353) ----
+        if self.estimator is not None and n_merged > 0:
+            self.estimator.local_ba_with_caps(
+                m, kfid, max_kfs=24, max_lms=4096, max_obs=16384,
+                max_iters=3, structure_only=True)
 
         # ---- loose BA over the loop span when the correction was large
         # (reference: looseBA, optimizer.cpp:900-1673, triggered at

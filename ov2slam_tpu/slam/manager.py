@@ -459,10 +459,11 @@ class SlamSystem:
             self._set_kps(res.kps)
             kp = res.kps
             (k_px, k_unpx, k_bv, k_lmid, k_valid, k_is3d, k_rpx, k_hr,
-             desc_np, desc_ok_np, tri_ok, Xw_np, depth_np, med_depth) = fetch_np(
+             desc_np, desc_ok_np, tri_ok, Xw_np, depth_np, med_depth,
+             xdesc_np, xok_np) = fetch_np(
                 kp.px, kp.unpx, kp.bv, kp.lmid, kp.valid, kp.is3d, kp.rpx,
                 kp.has_right, res.desc, res.desc_ok, res.tri_ok, res.tri_Xw,
-                res.tri_depth, res.med_depth)
+                res.tri_depth, res.med_depth, res.extra_desc, res.extra_ok)
 
         # ---- host registry updates from the fetched bundle ----
         with self.prof.scope("2.KF_Registry"):
@@ -501,7 +502,8 @@ class SlamSystem:
             kfid=kfid, time=time, T_cw=self.T_cw.copy(),
             px=k_px, unpx=k_unpx, bv=k_bv, lmid=k_lmid,
             valid=k_valid, is3d=k_is3d, rpx=k_rpx, has_right=k_hr,
-            desc=desc_np, desc_ok=desc_ok_np)
+            desc=desc_np, desc_ok=desc_ok_np,
+            extra_desc=xdesc_np[xok_np][:300])
         self.map.add_keyframe(rec)
         dsl = np.nonzero(rec.valid & desc_ok_np & (rec.lmid >= 0))[0]
         if len(dsl):

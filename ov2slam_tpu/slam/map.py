@@ -40,6 +40,8 @@ class KeyframeRecord:
     has_right: np.ndarray
     desc: np.ndarray          # (K, 8) uint32 BRIEF
     desc_ok: np.ndarray       # (K,) bool
+    extra_desc: np.ndarray = None   # (C, 8) place-recognition-only corners
+
 
     def kp_slot_of(self, lmid: int) -> int:
         hits = np.nonzero((self.lmid == lmid) & self.valid)[0]

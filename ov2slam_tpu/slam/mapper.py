@@ -274,6 +274,11 @@ class KFStepResult(NamedTuple):
     tri_Xw: jnp.ndarray      # (K, 3)
     tri_depth: jnp.ndarray   # (K,)
     med_depth: jnp.ndarray   # scalar — median stereo depth (prior update)
+    # extra place-recognition corners outside the keypoint mask (the
+    # reference adds <=300 FAST/BRIEF features for the BoW vocabulary,
+    # loop_closer.cpp:89-140)
+    extra_desc: jnp.ndarray  # (C, 8) uint32
+    extra_ok: jnp.ndarray    # (C,)
 
 
 @functools.partial(
@@ -330,13 +335,18 @@ def kf_step(
     # ---- describe ----
     desc, desc_ok = desc_mod.describe_brief(img, kps2.px, kps2.valid)
 
+    # ---- extra corners for place recognition: secondary per-cell peaks
+    # (outside the occupied discs by construction) ----
+    extra_desc, extra_ok = desc_mod.describe_brief(
+        img, det.points2, det.valid2)
+
     if not stereo:
         z = jnp.zeros(kps2.cap, img.dtype)
         return KFStepResult(
             kps=kps2, desc=desc, desc_ok=desc_ok,
             tri_ok=jnp.zeros(kps2.cap, bool),
             tri_Xw=jnp.zeros((kps2.cap, 3), img.dtype), tri_depth=z,
-            med_depth=depth_prior)
+            med_depth=depth_prior, extra_desc=extra_desc, extra_ok=extra_ok)
 
     # ---- stereo match + triangulate ----
     sm = stereo_match(
@@ -360,4 +370,5 @@ def kf_step(
         has_right=has_right)
     return KFStepResult(
         kps=kps3, desc=desc, desc_ok=desc_ok, tri_ok=tri.ok,
-        tri_Xw=tri.Xw, tri_depth=tri.depth, med_depth=med)
+        tri_Xw=tri.Xw, tri_depth=tri.depth, med_depth=med,
+        extra_desc=extra_desc, extra_ok=extra_ok)
