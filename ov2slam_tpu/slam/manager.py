@@ -424,6 +424,7 @@ class SlamSystem:
     def _create_keyframe(self, iml, imr, time, run_ba=True, stereo=True):
         p = self.params
         kfid = self.map.next_kf_id
+        prev_kfid = self.cur_kfid
         self.cur_kfid = kfid
         cur_pyr = self._cur_pyr()
 
@@ -434,6 +435,7 @@ class SlamSystem:
             nw = self.cam_l.width // p.nmaxdist
             n_cells = nh * nw
             cand_ids = self.map.alloc_landmarks(n_cells)
+            anc = self._assemble_anchor_data(prev_kfid)
             detector = "fast" if p.use_fast else "singlescale"
             if stereo:
                 right_pyr = fe_mod.preprocess(
@@ -452,6 +454,8 @@ class SlamSystem:
                     else float(p.nfast_th))),
                 jnp.asarray(cand_ids.astype(np.int32)),
                 jnp.asarray(np.float32(self.median_depth)),
+                jnp.asarray(anc[0]), jnp.asarray(anc[1]), jnp.asarray(anc[2]),
+                jnp.asarray(anc[3]), jnp.asarray(anc[4]),
                 cellsize=p.nmaxdist, detector=detector, fast_th=p.nfast_th,
                 nlevels=p.nklt_pyr_lvl, win=p.nklt_win_size,
                 max_iters=p.nmax_iter, fb_dist=p.fmax_fbklt_dist,
@@ -460,10 +464,11 @@ class SlamSystem:
             kp = res.kps
             (k_px, k_unpx, k_bv, k_lmid, k_valid, k_is3d, k_rpx, k_hr,
              desc_np, desc_ok_np, tri_ok, Xw_np, depth_np, med_depth,
-             xdesc_np, xok_np) = fetch_np(
+             xdesc_np, xok_np, tt_ok, tt_Xw, tt_da) = fetch_np(
                 kp.px, kp.unpx, kp.bv, kp.lmid, kp.valid, kp.is3d, kp.rpx,
                 kp.has_right, res.desc, res.desc_ok, res.tri_ok, res.tri_Xw,
-                res.tri_depth, res.med_depth, res.extra_desc, res.extra_ok)
+                res.tri_depth, res.med_depth, res.extra_desc, res.extra_ok,
+                res.tt_ok, res.tt_Xw, res.tt_depth_anchor)
 
         # ---- host registry updates from the fetched bundle ----
         with self.prof.scope("2.KF_Registry"):
@@ -490,9 +495,27 @@ class SlamSystem:
                         lams=1.0 / np.maximum(depth_np[newly], 1e-6))
                 self.median_depth = float(med_depth)
 
-        # ---- temporal triangulation of leftover 2D kps ----
-        with self.prof.scope("2.KF_TemporalTri"):
-            self._temporal_triangulation(kfid)
+            # temporal-triangulation commits (anchor = first observing KF,
+            # host-known from the pre-dispatch assembly)
+            anc_first = anc[5]
+            tnew = tt_ok & k_valid & (k_lmid >= 0) & (anc_first >= 0)
+            for s_i in np.nonzero(tnew)[0]:
+                lmid = int(k_lmid[s_i])
+                if self.map.lm_is3d[lmid] and stereo:
+                    continue   # stereo already triangulated it this KF
+                first_kf = int(anc_first[s_i])
+                arec = self.map.keyframes.get(first_kf)
+                if arec is None:
+                    continue
+                slot = arec.kp_slot_of(lmid)
+                if slot < 0:
+                    continue
+                b = arec.bv[slot]
+                self.map.set_positions(
+                    np.asarray([lmid]), tt_Xw[s_i][None], anchor_kf=first_kf,
+                    bearings=(b / max(b[2], 1e-9))[None],
+                    lams=np.asarray([1.0 / max(float(tt_da[s_i]), 1e-6)]))
+                arec.is3d[slot] = True
 
         # ---- record keyframe (arrays already fetched; temporal
         # triangulation only flips is3d flags, which we mirror on host) ----
@@ -629,6 +652,43 @@ class SlamSystem:
                 is3d=jnp.asarray(rec.valid & m.lm_is3d[sl] & (rec.lmid >= 0))))
 
     # ------------------------------------------------------------------
+    def _assemble_anchor_data(self, prev_kfid: int):
+        """Anchor poses/bearings for temporal triangulation, assembled from
+        the PREVIOUS keyframe's record (no device fetch needed: keypoint
+        slots are stable between keyframes; a device-side lmid guard rejects
+        slots that were re-used). Returns (R, t, bv, lmid, ok, first_kf)."""
+        K = self.kp_cap
+        anc_R = np.tile(np.eye(3, dtype=np.float32), (K, 1, 1))
+        anc_t = np.zeros((K, 3), np.float32)
+        anc_bv = np.zeros((K, 3), np.float32)
+        anc_bv[:, 2] = 1.0
+        anc_lmid = np.full(K, -1, np.int32)
+        anc_ok = np.zeros(K, bool)
+        anc_first = np.full(K, -1, np.int32)
+        prev = self.map.keyframes.get(prev_kfid)
+        if prev is not None:
+            for s_i in np.nonzero(prev.valid & ~prev.is3d & (prev.lmid >= 0))[0]:
+                lmid = int(prev.lmid[s_i])
+                obs = self.map.lm_obs.get(lmid)
+                if not obs:
+                    continue
+                first_kf = min(obs)
+                arec = self.map.keyframes.get(first_kf)
+                if arec is None:
+                    continue
+                slot = arec.kp_slot_of(lmid)
+                if slot < 0:
+                    continue
+                anc_R[s_i] = arec.T_cw[:3, :3]
+                anc_t[s_i] = arec.T_cw[:3, 3]
+                b = arec.bv[slot]
+                anc_bv[s_i] = b / max(b[2], 1e-9)
+                anc_lmid[s_i] = lmid
+                anc_ok[s_i] = True
+                anc_first[s_i] = first_kf
+        return anc_R, anc_t, anc_bv, anc_lmid, anc_ok, anc_first
+
+    # ------------------------------------------------------------------
     def _refresh_kp_3d_flags(self):
         """After BA outlier removal some landmarks may be gone; sync the live
         frame's flags."""
@@ -641,73 +701,6 @@ class SlamSystem:
             is3d=jnp.asarray(ok & alive & self.map.lm_is3d[sl])))
 
     # ------------------------------------------------------------------
-    def _temporal_triangulation(self, cur_kfid: int):
-        """Assemble per-kp anchor data on host, triangulate on device
-        (Mapper::triangulateTemporal, mapper.cpp:191-344)."""
-        p = self.params
-        kp_lmid = np.asarray(self.kps.lmid)
-        kp_valid = np.asarray(self.kps.valid)
-        kp_is3d = np.asarray(self.kps.is3d)
-        K = self.kp_cap
-        anc_R = np.tile(np.eye(3, dtype=np.float32), (K, 1, 1))
-        anc_t = np.zeros((K, 3), np.float32)
-        anc_bv = np.zeros((K, 3), np.float32)
-        anc_bv[:, 2] = 1.0
-        anc_ok = np.zeros(K, bool)
-        for s in np.nonzero(kp_valid & ~kp_is3d & (kp_lmid >= 0))[0]:
-            lmid = int(kp_lmid[s])
-            obs = self.map.lm_obs.get(lmid)
-            if not obs:
-                continue
-            first_kf = min(obs)
-            rec = self.map.keyframes.get(first_kf)
-            if rec is None or first_kf == cur_kfid:
-                continue
-            slot = rec.kp_slot_of(lmid)
-            if slot < 0:
-                continue
-            anc_R[s] = rec.T_cw[:3, :3]
-            anc_t[s] = rec.T_cw[:3, 3]
-            b = rec.bv[slot]
-            anc_bv[s] = b / max(b[2], 1e-9)
-            anc_ok[s] = True
-        if not anc_ok.any():
-            return
-        tri = mapper_mod.triangulate_temporal(
-            self.kps,
-            jnp.asarray(self.T_cw[:3, :3]), jnp.asarray(self.T_cw[:3, 3]),
-            jnp.asarray(anc_R), jnp.asarray(anc_t), jnp.asarray(anc_bv),
-            jnp.asarray(anc_ok), self.cam_l,
-            max_reproj_px=p.fmax_reproj_err)
-        tri_ok_np, tri_Xw_np, tri_da_np = fetch_np(tri.ok, tri.Xw, tri.depth_anchor)
-        ok = tri_ok_np & kp_valid & ~kp_is3d
-        if not ok.any():
-            return
-        # batch the registry commit (one set_positions per anchor keyframe)
-        by_anchor = {}
-        for s in np.nonzero(ok)[0]:
-            lmid = int(kp_lmid[s])
-            first_kf = min(self.map.lm_obs[lmid])
-            rec = self.map.keyframes[first_kf]
-            slot = rec.kp_slot_of(lmid)
-            if slot < 0:
-                ok[s] = False
-                continue
-            b = rec.bv[slot]
-            by_anchor.setdefault(first_kf, []).append(
-                (lmid, tri_Xw_np[s], b / max(b[2], 1e-9),
-                 1.0 / max(float(tri_da_np[s]), 1e-6), rec, slot))
-        for first_kf, rows in by_anchor.items():
-            ids = np.asarray([r[0] for r in rows])
-            self.map.set_positions(
-                ids, np.stack([r[1] for r in rows]),
-                anchor_kf=first_kf,
-                bearings=np.stack([r[2] for r in rows]),
-                lams=np.asarray([r[3] for r in rows]))
-            for r in rows:
-                r[4].is3d[r[5]] = True
-        self._set_kps(self.kps._replace(is3d=self.kps.is3d | jnp.asarray(ok)))
-
     # ------------------------------------------------------------------
     def write_results(self, out_dir: str = "."):
         """Trajectory outputs with reference-compatible names + final passes

@@ -279,6 +279,10 @@ class KFStepResult(NamedTuple):
     # loop_closer.cpp:89-140)
     extra_desc: jnp.ndarray  # (C, 8) uint32
     extra_ok: jnp.ndarray    # (C,)
+    # temporal triangulation vs each kp's first-observing keyframe
+    tt_ok: jnp.ndarray       # (K,)
+    tt_Xw: jnp.ndarray       # (K, 3)
+    tt_depth_anchor: jnp.ndarray  # (K,)
 
 
 @functools.partial(
@@ -302,6 +306,13 @@ def kf_step(
     quality_th: jnp.ndarray,
     cand_lmids: jnp.ndarray,      # (C,) fresh landmark ids, one per grid cell
     depth_prior: jnp.ndarray,
+    # temporal-triangulation anchor data, host-assembled from the previous
+    # keyframe's record (valid only while the slot still holds anc_lmid)
+    anc_R: jnp.ndarray,           # (K, 3, 3) anchor world-to-cam
+    anc_t: jnp.ndarray,           # (K, 3)
+    anc_bv: jnp.ndarray,          # (K, 3) anchor-frame bearing
+    anc_lmid: jnp.ndarray,        # (K,) landmark the anchor data refers to
+    anc_ok: jnp.ndarray,          # (K,)
     cellsize: int,
     detector: str = "singlescale",
     fast_th: int = 10,
@@ -340,13 +351,24 @@ def kf_step(
     extra_desc, extra_ok = desc_mod.describe_brief(
         img, det.points2, det.valid2)
 
+    def temporal(kpsX):
+        guard = (anc_ok & (kpsX.lmid == anc_lmid) & kpsX.valid
+                 & ~kpsX.is3d & (kpsX.lmid >= 0))
+        tt = triangulate_temporal(
+            kpsX._replace(valid=guard), R_cw, t_cw,
+            anc_R, anc_t, anc_bv, guard, cam_l)
+        kpsY = kpsX._replace(is3d=kpsX.is3d | (tt.ok & kpsX.valid))
+        return kpsY, tt
+
     if not stereo:
         z = jnp.zeros(kps2.cap, img.dtype)
+        kps2b, tt = temporal(kps2)
         return KFStepResult(
-            kps=kps2, desc=desc, desc_ok=desc_ok,
+            kps=kps2b, desc=desc, desc_ok=desc_ok,
             tri_ok=jnp.zeros(kps2.cap, bool),
             tri_Xw=jnp.zeros((kps2.cap, 3), img.dtype), tri_depth=z,
-            med_depth=depth_prior, extra_desc=extra_desc, extra_ok=extra_ok)
+            med_depth=depth_prior, extra_desc=extra_desc, extra_ok=extra_ok,
+            tt_ok=tt.ok, tt_Xw=tt.Xw, tt_depth_anchor=tt.depth_anchor)
 
     # ---- stereo match + triangulate ----
     sm = stereo_match(
@@ -368,7 +390,9 @@ def kf_step(
         is3d=kps2.valid & (kps2.is3d | newly),
         rpx=jnp.where(has_right[:, None], unrpx, 0.0).astype(unrpx.dtype),
         has_right=has_right)
+    kps4, tt = temporal(kps3)
     return KFStepResult(
-        kps=kps3, desc=desc, desc_ok=desc_ok, tri_ok=tri.ok,
+        kps=kps4, desc=desc, desc_ok=desc_ok, tri_ok=tri.ok,
         tri_Xw=tri.Xw, tri_depth=tri.depth, med_depth=med,
-        extra_desc=extra_desc, extra_ok=extra_ok)
+        extra_desc=extra_desc, extra_ok=extra_ok,
+        tt_ok=tt.ok, tt_Xw=tt.Xw, tt_depth_anchor=tt.depth_anchor)
