@@ -190,3 +190,55 @@ def test_stereo_rectification_pipeline():
     path_est = np.linalg.norm(np.diff(est_t, axis=0), axis=1).sum()
     path_gt = np.linalg.norm(np.diff(gt_t, axis=0), axis=1).sum()
     assert abs(path_est - path_gt) / path_gt < 0.2
+
+
+def test_kitti_resolution_smoke():
+    """The pipeline must work at KITTI's 1241x376 (different grid/pyramid
+    shapes than the EuRoC-like default)."""
+    import cv2 as _cv2
+    import jax.numpy as jnp
+    from ov2slam_tpu.slam.manager import SlamSystem
+
+    W2, H2 = 1241, 376
+    rng = np.random.default_rng(0)
+    tex = _cv2.resize(rng.uniform(0, 255, (240, 240)).astype(np.float32),
+                      (4000, 4000), interpolation=_cv2.INTER_CUBIC)
+    K = np.array([[718.856, 0, 607.1928], [0, 718.856, 185.2157], [0, 0, 1]])
+
+    def render(T_cw, z=12.0, hw=22.0):
+        R, t = T_cw[:3, :3], T_cw[:3, 3]
+        Hm = K @ np.stack([R[:, 0], R[:, 1], R[:, 2] * z + t], axis=1)
+        S = np.array([[4000 / (2 * hw), 0, 2000], [0, 4000 / (2 * hw), 2000],
+                      [0, 0, 1]])
+        return _cv2.warpPerspective(tex, Hm @ np.linalg.inv(S), (W2, H2),
+                                    borderMode=_cv2.BORDER_REPLICATE
+                                    ).astype(np.float32)
+
+    base = 0.537
+    T_rl = np.eye(4)
+    T_rl[0, 3] = -base
+    d = {
+        "Camera.fxl": 718.856, "Camera.fyl": 718.856,
+        "Camera.cxl": 607.1928, "Camera.cyl": 185.2157,
+        "Camera.fxr": 718.856, "Camera.fyr": 718.856,
+        "Camera.cxr": 607.1928, "Camera.cyr": 185.2157,
+        "Camera.left_nwidth": W2, "Camera.left_nheight": H2,
+        "Camera.right_nwidth": W2, "Camera.right_nheight": H2,
+        "T_left_right": np.array([[1, 0, 0, base], [0, 1, 0, 0],
+                                  [0, 0, 1, 0], [0, 0, 0, 1]], float),
+        "stereo": 1, "mono": 0, "use_clahe": 0, "nmaxdist": 50,
+        "buse_loop_closer": 0,
+    }
+    slam = SlamSystem(SlamParams.from_dict(d))
+    est = []
+    for i in range(10):
+        T_wc = np.eye(4)
+        T_wc[:3, 3] = [0.4 * i, 0, 0]     # KITTI-ish speed
+        T_cw = np.linalg.inv(T_wc)
+        il = render(T_cw)
+        ir = render(T_rl @ T_cw)
+        est.append(slam.process_stereo(il, ir, i * 0.1).copy())
+    assert slam.initialized
+    est_t = np.stack([T[:3, 3] for T in est])
+    # metric scale from the 0.537 m baseline
+    assert abs(est_t[-1, 0] - 3.6) < 0.4
