@@ -57,9 +57,14 @@ def main():
     for _ in range(2):
         slam.reset()
         slam.logger.reset()
+        chunk = int(os.environ.get("BENCH_CHUNK", "1"))
         t0 = time.perf_counter()
-        for i in range(n_frames):
-            slam.process_stereo(frames_l[i], frames_r[i], time=i * 0.05)
+        i = 0
+        while i < n_frames:
+            batch = [(frames_l[j], frames_r[j], j * 0.05)
+                     for j in range(i, min(i + chunk, n_frames))]
+            slam.process_stereo_chunk(batch)
+            i += len(batch)
         slam.flush()
         best_dt = min(best_dt, time.perf_counter() - t0)
     dt = best_dt

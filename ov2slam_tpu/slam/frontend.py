@@ -322,13 +322,7 @@ def _grad_pyrs(pyr):
     return tuple(gx), tuple(gy)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("levels", "use_clahe", "nklt_win", "nmax_iter",
-                     "do_epipolar"),
-    donate_argnums=(0,),
-)
-def frame_step(
+def _frame_step_impl(
     state: FEState,
     img_u8: jnp.ndarray,
     lm_pos: jnp.ndarray,
@@ -394,3 +388,50 @@ def frame_step(
         res.T_cw_t,
         lie.quat_from_mat(res.T_cw_R)])
     return new_state, stats
+
+
+frame_step = functools.partial(
+    jax.jit,
+    static_argnames=("levels", "use_clahe", "nklt_win", "nmax_iter",
+                     "do_epipolar"),
+    donate_argnums=(0,),
+)(_frame_step_impl)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("levels", "use_clahe", "nklt_win", "nmax_iter",
+                     "do_epipolar"),
+    donate_argnums=(0,),
+)
+def frame_chunk_step(
+    state: FEState,
+    imgs_u8: jnp.ndarray,          # (N, H, W) uint8
+    lm_pos: jnp.ndarray,
+    lm_is3d: jnp.ndarray,
+    cam: Camera,
+    levels: int = 3,
+    use_clahe: bool = True,
+    clahe_clip: float = 3.0,
+    nklt_win: int = 9,
+    nmax_iter: int = 30,
+    fmax_px_precision: float = 0.01,
+    fmax_fbklt_dist: float = 0.5,
+    klt_err: float = 30.0,
+    do_epipolar: bool = True,
+    fransac_err: float = 3.0,
+    robust_th2: float = 5.9915,
+):
+    """Track N consecutive frames in ONE dispatch (lax.scan over the fused
+    per-frame step): the host round trip amortizes over the chunk. Keyframe
+    decisions quantize to chunk boundaries — the offline/throughput mode."""
+
+    def body(st, img):
+        st2, stats = _frame_step_impl(
+            st, img, lm_pos, lm_is3d, cam, levels, use_clahe, clahe_clip,
+            nklt_win, nmax_iter, fmax_px_precision, fmax_fbklt_dist,
+            klt_err, do_epipolar, fransac_err, robust_th2)
+        return st2, stats
+
+    state2, stats = jax.lax.scan(body, state, imgs_u8)
+    return state2, stats          # stats (N, 12)

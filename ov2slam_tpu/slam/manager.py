@@ -235,6 +235,66 @@ class SlamSystem:
             T_wkf = np.linalg.inv(self.map.keyframes[self.cur_kfid].T_cw)
         self.logger.add(time, self.T_wc(), need_kf, self.cur_kfid, T_wkf)
 
+    def process_stereo_chunk(self, frames, imr_last=None):
+        """Throughput mode: track a list of (iml, imr, t) frames in one
+        device dispatch (lax.scan). Keyframe decisions quantize to the chunk
+        boundary — appropriate for offline replay / benchmarking (the
+        realtime reference drops frames under load for the same reason).
+
+        Falls back to per-frame processing until the map is initialized."""
+        p = self.params
+        if not self.initialized or len(frames) < 2:
+            T = None
+            for iml, imr, t in frames:
+                T = self.process_stereo(iml, imr, t)
+            return T
+
+        # finalize anything pending from single-frame mode
+        self.flush()
+        self.frame_id += len(frames)
+        imgs = np.stack([np.ascontiguousarray(f[0]).astype(np.uint8)
+                         for f in frames])
+        if self.rect_maps is not None:
+            imgs = np.stack([self._rectify(f, 0) for f in imgs]).astype(np.uint8)
+        lm_pos, lm_is3d = self.map.device_landmarks()
+        with self.prof.scope("0.Full-Front_End"):
+            self.fe_state, stats = fe_mod.frame_chunk_step(
+                self.fe_state, jax.device_put(imgs), lm_pos, lm_is3d,
+                self.cam_l,
+                levels=p.nklt_pyr_lvl, use_clahe=p.use_clahe,
+                clahe_clip=p.fclahe_val, nklt_win=p.nklt_win_size,
+                nmax_iter=p.nmax_iter,
+                fmax_px_precision=p.fmax_px_precision,
+                fmax_fbklt_dist=p.fmax_fbklt_dist, klt_err=p.nklt_err,
+                do_epipolar=p.doepipolar, fransac_err=p.fransac_err,
+                robust_th2=p.robust_mono_th)
+            stats_np = np.asarray(stats)        # (N, 12)
+
+        need_kf = False
+        for j, (iml, imr, t) in enumerate(frames):
+            row = stats_np[j]
+            pose_ok = row[0] > 0.5
+            if pose_ok:
+                T = np.eye(4, dtype=np.float32)
+                T[:3, :3] = _mat_from_quat_np(row[8:12])
+                T[:3, 3] = row[5:8]
+                self.T_cw = T
+            self.frames_since_kf += 1
+            need_kf = need_kf or fe_mod.check_new_kf(
+                p, int(row[1]), int(row[2]), float(row[4]),
+                self.frames_since_kf, self.n3d_at_kf, pose_ok,
+                time_since_kf=t - self.kf_time)
+            is_last = j == len(frames) - 1
+            if is_last and need_kf:
+                with self.prof.scope("1.KF_Processing"):
+                    self._create_keyframe(iml, frames[-1][1], t)
+            T_wkf = None
+            if self.cur_kfid in self.map.keyframes:
+                T_wkf = np.linalg.inv(self.map.keyframes[self.cur_kfid].T_cw)
+            self.logger.add(t, self.T_wc(), is_last and need_kf,
+                            self.cur_kfid, T_wkf)
+        return self.T_wc()
+
     def flush(self):
         """Finalize any in-flight frame + pending BA (pipelined mode)."""
         if self._pending is not None:

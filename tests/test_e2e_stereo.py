@@ -97,3 +97,23 @@ def test_force_realtime_pipelined(sequence, tmp_path):
     gt_t = np.stack([T[:3, 3] for T in poses_gt])
     err = ate_rmse(est_t, gt_t)
     assert err < 0.05, f"pipelined ATE {err:.4f}"
+
+
+def test_chunked_tracking(sequence):
+    """process_stereo_chunk (lax.scan over frames) matches per-frame
+    accuracy on the synthetic sequence."""
+    frames_l, frames_r, poses_gt = sequence
+    params = SlamParams.from_dict(syn.slam_params_dict())
+    slam = SlamSystem(params)
+    n = len(frames_l)
+    i = 0
+    while i < n:
+        chunk = [(frames_l[j], frames_r[j], j * 0.05)
+                 for j in range(i, min(i + 4, n))]
+        slam.process_stereo_chunk(chunk)
+        i += len(chunk)
+    assert len(slam.logger.poses_wc) == n
+    est_t = np.stack([T[:3, 3] for T in slam.logger.poses_wc])
+    gt_t = np.stack([T[:3, 3] for T in poses_gt])
+    err = ate_rmse(est_t, gt_t)
+    assert err < 0.06, f"chunked ATE {err:.4f}"
