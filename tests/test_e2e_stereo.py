@@ -117,3 +117,42 @@ def test_chunked_tracking(sequence):
     gt_t = np.stack([T[:3, 3] for T in poses_gt])
     err = ate_rmse(est_t, gt_t)
     assert err < 0.06, f"chunked ATE {err:.4f}"
+
+
+def test_rotation_heavy_tracking():
+    """Strong yaw (about 1 deg/frame) with little translation — stresses the
+    rotation-compensated parallax logic and prior-seeded tracking."""
+    tex = syn.make_texture(31, size=6000)
+    tex2 = syn.make_texture(131)
+    poses = []
+    for i in range(36):
+        yaw = 0.018 * i
+        c, s = np.cos(yaw), np.sin(yaw)
+        T = np.eye(4)
+        T[:3, :3] = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+        T[:3, 3] = [0.01 * i, 0, 0]
+        poses.append(T)
+    T_rl = np.eye(4)
+    T_rl[0, 3] = -syn.BASELINE
+    fl, fr = [], []
+    for T_wc in poses:
+        T_cw = np.linalg.inv(T_wc)
+        fl.append(syn.render_view(tex, tex2, T_cw, plane_z=8.0, plane2_z=5.0,
+                                  plane2_hw=3.0))
+        fr.append(syn.render_view(tex, tex2, T_rl @ T_cw, plane_z=8.0,
+                                  plane2_z=5.0, plane2_hw=3.0))
+    slam = SlamSystem(SlamParams.from_dict(syn.slam_params_dict()))
+    for i in range(36):
+        slam.process_stereo(fl[i], fr[i], time=i * 0.05)
+    est_t = np.stack([T[:3, 3] for T in slam.logger.poses_wc])
+    gt_t = np.stack([T[:3, 3] for T in poses])
+    err = ate_rmse(est_t, gt_t)
+    assert err < 0.05, f"rotation-heavy ATE {err:.4f}"
+    # yaw must be tracked: compare final rotation angle
+    from ov2slam_tpu.core import lie as lie_mod
+    import jax.numpy as jnp
+    R_est = slam.logger.poses_wc[-1][:3, :3]
+    R_gt = poses[-1][:3, :3]
+    dw = np.asarray(lie_mod.so3_log(jnp.asarray(
+        (R_est @ R_gt.T).astype(np.float32))))
+    assert np.linalg.norm(dw) < 0.02
