@@ -26,6 +26,9 @@ def main(argv=None):
                     choices=["euroc", "kitti", "tartanair"])
     ap.add_argument("--out", default=".", help="output directory")
     ap.add_argument("--max-frames", type=int, default=0)
+    ap.add_argument("--chunk", type=int, default=1,
+                    help="frames per device dispatch (throughput mode; "
+                         "keyframe decisions quantize to chunk ends)")
     ap.add_argument("--no-cache", action="store_true",
                     help="disable the persistent XLA compilation cache")
     args = ap.parse_args(argv)
@@ -44,9 +47,16 @@ def main(argv=None):
 
     n = 0
     t0 = _time.perf_counter()
+    batch = []
     for iml, imr, t in reader:
         if params.stereo and imr is not None:
-            slam.process_stereo(iml, imr, t)
+            if args.chunk > 1:
+                batch.append((iml, imr, t))
+                if len(batch) >= args.chunk:
+                    slam.process_stereo_chunk(batch)
+                    batch = []
+            else:
+                slam.process_stereo(iml, imr, t)
         else:
             slam.process_mono(iml, t)
         n += 1
@@ -57,6 +67,8 @@ def main(argv=None):
             print(f"[{n}/{len(reader)}] {fps:.1f} fps, "
                   f"{len(slam.map.keyframes)} KFs, {slam.map.n_3d()} landmarks",
                   file=sys.stderr)
+    if batch:
+        slam.process_stereo_chunk(batch)
 
     dt = _time.perf_counter() - t0
     os.makedirs(args.out, exist_ok=True)
