@@ -119,6 +119,10 @@ class Estimator:
             2 * sum(int((m.keyframes[k].valid & m.keyframes[k].is3d).sum())
                     for k in kf_list if k in m.keyframes), 1024, max_obs)
         kf_list = kf_list[:F]
+        # the gauge must survive truncation: if every remaining KF is
+        # optimized, demote the lowest-covisibility one to constant
+        if all(k in opt_set for k in kf_list) and len(kf_list) > 1:
+            opt_set.discard(kf_list[-1])
         kf_slot = {kfid: i for i, kfid in enumerate(kf_list)}
         lm_set = lm_set[:L]
         lm_in = set(lm_set)

@@ -408,8 +408,6 @@ class SlamSystem:
             if need_kf:
                 with self.prof.scope("1.KF_Processing"):
                     self._create_keyframe(im, None, time, stereo=False)
-            else:
-                self.frames_since_kf += 1
 
         if not need_kf:
             self.frames_since_kf += 1
