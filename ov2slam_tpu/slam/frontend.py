@@ -47,32 +47,6 @@ class TrackResult(NamedTuple):
     parallax_med: jnp.ndarray  # median rotation-compensated parallax (px)
 
 
-class MotionModel:
-    """Constant-velocity prior (reference: visual_front_end.hpp:38-90)."""
-
-    def __init__(self):
-        self.T_cw_prev: Optional[np.ndarray] = None   # (4, 4)
-        self.vel: Optional[np.ndarray] = None         # relative step (4, 4)
-        self.t_prev: float = 0.0
-
-    def predict(self, time: float) -> Optional[np.ndarray]:
-        if self.T_cw_prev is None:
-            return None
-        if self.vel is None:
-            return self.T_cw_prev
-        return self.vel @ self.T_cw_prev
-
-    def update(self, T_cw: np.ndarray, time: float):
-        if self.T_cw_prev is not None:
-            self.vel = T_cw @ np.linalg.inv(self.T_cw_prev)
-        self.T_cw_prev = T_cw.copy()
-        self.t_prev = time
-
-    def reset(self):
-        self.T_cw_prev = None
-        self.vel = None
-
-
 def calib_of(cam: Camera) -> Calib:
     return Calib(cam.fx, cam.fy, cam.cx, cam.cy)
 
