@@ -90,6 +90,77 @@ class LoopCloser:
         return ev
 
     # ------------------------------------------------------------------
+    def relocalize(self, m: MapStore, descs: np.ndarray, bvs: np.ndarray,
+                   unpxs: np.ndarray, key=None):
+        """Relocalization from total tracking loss: query the place index
+        with the lost frame's descriptors (without inserting), verify the
+        best candidate geometrically (kNN + P3P + robust PnP), return the
+        recovered world-to-cam pose or None.
+
+        (The reference has no global relocalization — loop closing only runs
+        on keyframes; this extends the same machinery to lost frames.)"""
+        if len(descs) < 20:
+            return None
+        hits = self.index_query(descs)
+        for cand_kf, _score in hits[:3]:
+            if cand_kf not in m.keyframes:
+                continue
+            T = self._match_and_pnp(m, cand_kf, descs, bvs, unpxs, key)
+            if T is not None:
+                return T, cand_kf
+        return None
+
+    def index_query(self, descs: np.ndarray):
+        return self.detector.index.query(descs, max_image_id=1 << 30, topk=5)
+
+    def _match_and_pnp(self, m: MapStore, cand_kf: int, descs, bvs, unpxs,
+                       key):
+        p = self.params
+        mrec = m.keyframes[cand_kf]
+        loop_mask = mrec.valid & mrec.desc_ok & mrec.is3d & (mrec.lmid >= 0)
+        loop_idx = np.nonzero(loop_mask)[0]
+        if len(loop_idx) < 20:
+            return None
+        best, bd, sd = desc_mod.knn2_match(
+            jnp.asarray(descs), jnp.ones(len(descs), bool),
+            jnp.asarray(mrec.desc[loop_idx]), jnp.ones(len(loop_idx), bool))
+        best = np.asarray(best); bd = np.asarray(bd); sd = np.asarray(sd)
+        good = (bd <= 0.85 * sd) & (bd < p.fmax_desc_dist * 2.0 * 256)
+        if good.sum() < 15:
+            return None
+        N = 512
+        Xw = np.zeros((N, 3), np.float32)
+        bv = np.zeros((N, 3), np.float32); bv[:, 2] = 1.0
+        unpx = np.zeros((N, 2), np.float32)
+        val = np.zeros(N, bool)
+        j = 0
+        for i in np.nonzero(good)[0]:
+            lm = int(mrec.lmid[loop_idx[best[i]]])
+            if not (m.lm_valid[lm] and m.lm_is3d[lm]) or j >= N:
+                continue
+            Xw[j] = m.lm_pos[lm]; bv[j] = bvs[i]; unpx[j] = unpxs[i]
+            val[j] = True; j += 1
+        if j < 15:
+            return None
+        if key is None:
+            key = jax.random.PRNGKey(cand_kf)
+        focal = float(self.cam_l.fx + self.cam_l.fy) * 0.5
+        T_est, inl, n_in, okflag = mvg.p3p_ransac(
+            jnp.asarray(Xw), jnp.asarray(bv), jnp.asarray(val), key,
+            err_th_norm=p.fransac_err / focal, n_hyps=512)
+        if not bool(okflag) or int(n_in) < 10:
+            return None
+        pnp = pnp_mod.pnp_robust_then_l2(
+            fe_mod.calib_of(self.cam_l), T_est, jnp.asarray(Xw),
+            jnp.asarray(unpx), inl, robust_th2=p.robust_mono_th)
+        if int(pnp.n_inliers) < 30:
+            return None
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = np.asarray(pnp.T_cw.R)
+        T[:3, 3] = np.asarray(pnp.T_cw.t)
+        return T
+
+    # ------------------------------------------------------------------
     def _verify_and_close(self, m: MapStore, kfid: int, match_kf: int, key
                           ) -> Optional[LoopClosureEvent]:
         p = self.params

@@ -127,7 +127,8 @@ class SlamSystem:
         # written back at the next
         self._pending = None
         self._pending_ba = None
-        self._pending_ba = None
+        self._lost_frames = 0
+        self._last_imr = None
 
     # ------------------------------------------------------------------
     @property
@@ -156,6 +157,7 @@ class SlamSystem:
         if self.rect_maps is not None:
             iml = self._rectify(iml, 0)
             imr = self._rectify(imr, 1)
+        self._last_imr = imr
         img_u8 = jax.device_put(np.ascontiguousarray(iml).astype(np.uint8))
 
         with self.prof.scope("0.Full-Front_End"):
@@ -218,6 +220,17 @@ class SlamSystem:
             # P3P-RANSAC recovery when the prior-seeded PnP failed
             # (reference: p3pRansac path, visual_front_end.cpp:659-851)
             pose_ok = self._try_p3p_recovery()
+
+        if pose_ok:
+            self._lost_frames = 0
+        else:
+            self._lost_frames += 1
+            if (self._lost_frames >= 3 and self.initialized
+                    and self.loopcloser is not None):
+                # total tracking loss: relocalize against the place index
+                if self._try_relocalize(iml):
+                    pose_ok = True
+                    self._lost_frames = 0
 
         need_kf = fe_mod.check_new_kf(
             p, n_tracked, n_3d, parallax,
@@ -320,6 +333,41 @@ class SlamSystem:
 
     def T_wc(self) -> np.ndarray:
         return np.linalg.inv(self.T_cw.astype(np.float64)).astype(np.float32)
+
+    # ------------------------------------------------------------------
+    def _try_relocalize(self, iml) -> bool:
+        """Query the BoW index with the lost frame, verify with P3P + PnP,
+        reset the pose, and rebuild the keypoint table via a forced keyframe
+        (local-map matching then re-associates landmarks)."""
+        from ov2slam_tpu.slam import mapper as mp
+        from ov2slam_tpu.ops import detect as dmod, describe as dsmod
+        img = self.fe_state.pyr[0]
+        # fresh corners + descriptors (the current table may be empty)
+        resp = dmod.min_eig_response(img)
+        det = dmod.grid_select(resp, jnp.zeros((8, 2), jnp.float32),
+                               jnp.zeros(8, bool), self.params.nmaxdist,
+                               jnp.asarray(np.float32(1e-4)))
+        desc, ok = dsmod.describe_brief(img, det.points, det.valid)
+        unpx = cam_mod.undistort_px(self.cam_l, det.points)
+        bv = cam_mod.bearing_from_undist_px(self.cam_l, unpx)
+        desc_np, ok_np, unpx_np, bv_np = fetch_np(desc, ok, unpx, bv)
+        sel = ok_np
+        res = self.loopcloser.relocalize(
+            self.map, desc_np[sel], bv_np[sel], unpx_np[sel])
+        if res is None:
+            return False
+        T, cand_kf = res
+        self.T_cw = T
+        self._sync_pose_to_device()
+        # reset velocity (the old one is meaningless after the jump)
+        self.fe_state = self.fe_state._replace(
+            R_vel=jnp.eye(3, dtype=jnp.float32),
+            t_vel=jnp.zeros(3, jnp.float32))
+        # drop the stale keypoint table and rebuild from a forced keyframe
+        self._set_kps(frame_mod.FrameKps.empty(self.kp_cap))
+        self._create_keyframe(None, self._last_imr, 0.0, run_ba=False,
+                              stereo=self.params.stereo and self._last_imr is not None)
+        return True
 
     # ------------------------------------------------------------------
     def _try_p3p_recovery(self) -> bool:

@@ -73,3 +73,32 @@ def test_loop_closure_fires_and_map_stays_consistent():
 
     # merged landmarks recorded
     assert ev.n_merged >= 0
+
+
+def test_relocalization_after_kidnap():
+    """'Kidnapped robot': blind the camera for several frames, then show a
+    previously-mapped view far from the last pose — the system must
+    relocalize via the place index (no reference equivalent; extends loop
+    closing to lost frames)."""
+    frames_l, frames_r, poses_gt = render_out_and_back(n_half=30)
+    d = syn.slam_params_dict()
+    d["buse_loop_closer"] = 1
+    d["bdo_track_localmap"] = 0
+    slam = SlamSystem(SlamParams.from_dict(d))
+    slam.loopcloser.detector.p_wait = 5
+
+    # map the outbound pass
+    for i in range(30):
+        slam.process_stereo(frames_l[i], frames_r[i], time=i * 0.05)
+    assert slam.initialized
+    # kidnap: blind frames
+    blank = np.full_like(frames_l[0], 127.0)
+    for i in range(30, 36):
+        slam.process_stereo(blank, blank, time=i * 0.05)
+    # reappear at the view of frame 6 (outbound, far from the last pose)
+    T_reloc = None
+    for i in range(36, 40):
+        T_reloc = slam.process_stereo(frames_l[6], frames_r[6], time=i * 0.05)
+    gt = poses_gt[6][:3, 3]
+    err = np.linalg.norm(T_reloc[:3, 3] - gt)
+    assert err < 0.1, f"relocalization error {err:.3f} m (pose {T_reloc[:3,3]} vs {gt})"
