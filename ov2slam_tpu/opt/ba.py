@@ -157,7 +157,8 @@ def _cost(p, r, w_valid, chi2, th2, robust):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("invdepth", "max_iters", "robust"),
+    static_argnames=("invdepth", "max_iters", "robust", "l2_refine",
+                     "l2_iters"),
 )
 def solve_ba(
     p: BAProblem,
@@ -168,25 +169,52 @@ def solve_ba(
     th2_stereo: float = 7.8147,
     optimize_landmarks: bool = True,
     lam0: float = 1e-4,
+    l2_refine: bool = False,
+    l2_iters: int = 5,
 ) -> BAResult:
     """Schur-complement LM. See module docstring.
 
     ``optimize_landmarks=False`` gives pose-only refinement;
     ``pose_opt`` all-False + optimize_landmarks=True gives structure-only BA
     (reference structureOnlyBA, optimizer.cpp:2594-2782).
+    ``l2_refine`` mirrors apply_l2_after_robust (optimizer.cpp:488-735):
+    after the robust solve + chi2 sweep, outlier observations are masked out
+    and the remaining inliers are re-solved with plain L2 loss.
     """
+    out = _lm_run(p, p.R, p.t, p.Xw, p.lam, jnp.asarray(robust),
+                  invdepth, max_iters, th2_mono, th2_stereo,
+                  optimize_landmarks, lam0)
+    if l2_refine:
+        # robust->L2: drop chi2/depth outliers, re-solve the inlier-only
+        # problem with L2 loss starting from the robust solution
+        p2 = p._replace(obs_valid=out.obs_inlier)
+        out2 = _lm_run(p2, out.R, out.t, out.Xw, out.lam, jnp.asarray(False),
+                       invdepth, l2_iters, th2_mono, th2_stereo,
+                       optimize_landmarks, lam0)
+        out = BAResult(out2.R, out2.t, out2.Xw, out2.lam,
+                       out2.obs_inlier & out.obs_inlier,
+                       out.cost0, out2.cost, out.n_iters + out2.n_iters)
+    return out
+
+
+def _lm_run(
+    p: BAProblem,
+    R_init, t_init, Xw_init, lam_init, rob,
+    invdepth: bool,
+    max_iters: int,
+    th2_mono: float,
+    th2_stereo: float,
+    optimize_landmarks: bool,
+    lam0: float,
+) -> BAResult:
     dt = p.t.dtype
     F = p.R.shape[0]
     L = p.lam.shape[0]
     nl = 1 if invdepth else 3
-    rob = jnp.asarray(robust)
     opt_lm_flag = jnp.asarray(optimize_landmarks)
 
     pose_w = p.pose_opt.astype(dt)                       # (F,)
     lm_w = p.lm_valid.astype(dt) * opt_lm_flag           # (L,)
-
-    def lm_params(lam, Xw):
-        return lam if invdepth else Xw
 
     def build(R, t, Xw, lam):
         r, J_obs, J_anc, J_lm, pos = _residuals_all(p, R, t, Xw, lam, invdepth)
@@ -284,7 +312,7 @@ def solve_ba(
     # LM with ONE normal-equation build per iteration: the carry holds the
     # best-so-far parameters AND their normal equations, so a rejected trial
     # re-solves the stored system with more damping instead of rebuilding.
-    normals0 = build(p.R, p.t, p.Xw, p.lam)
+    normals0 = build(R_init, t_init, Xw_init, lam_init)
     cost0 = normals0[-1]
 
     def lm_cond(state):
@@ -310,7 +338,7 @@ def solve_ba(
         return (it + 1, best, best_normals, best_cost, (Rn, tn, Xn, ln),
                 damp, small)
 
-    params0 = (p.R, p.t, p.Xw, p.lam)
+    params0 = (R_init, t_init, Xw_init, lam_init)
     dxp0, dl0 = solve_step(*normals0[:5], jnp.asarray(lam0, dt))
     trial0 = apply_step(*params0, dxp0, dl0)
     it, best_f, _, _, trial_f, _, _ = jax.lax.while_loop(

@@ -35,6 +35,11 @@ from ov2slam_tpu.ops import mvg
 def make_mesh(n_devices: int = None, axis: str = "dp") -> Mesh:
     devs = jax.devices()
     n = len(devs) if n_devices is None else n_devices
+    if len(devs) < n:
+        raise ValueError(
+            f"make_mesh({n}) but only {len(devs)} devices are available "
+            f"({devs[0].platform}); for a virtual CPU mesh set "
+            "jax.config.update('jax_num_cpu_devices', n) before backend init")
     return Mesh(np.asarray(devs[:n]), (axis,))
 
 

@@ -46,9 +46,36 @@ def main(argv=None):
     slam = SlamSystem(params)
 
     n = 0
+    n_dropped = 0
     t0 = _time.perf_counter()
     batch = []
-    for iml, imr, t in reader:
+    # force_realtime frame dropping (reference: getNewImage with
+    # bforce_realtime_, ov2slam.cpp:291-298 — keep only the newest queued
+    # frame). Replay emulation: frames "arrive" at their timestamps on a
+    # simulated clock anchored at the first frame; a frame is dropped when a
+    # newer one has already arrived by the time processing gets to it.
+    frames_it = iter(reader)
+    ts_anchor = None
+
+    def _stream():
+        nonlocal ts_anchor, n_dropped
+        prev = None
+        for cur in frames_it:
+            if ts_anchor is None:
+                ts_anchor = (_time.perf_counter(), cur[2])
+            if prev is not None:
+                if params.force_realtime:
+                    sim_now = ts_anchor[1] + (_time.perf_counter() - ts_anchor[0])
+                    if sim_now >= cur[2]:   # a newer frame already arrived
+                        n_dropped += 1
+                        prev = cur
+                        continue
+                yield prev
+            prev = cur
+        if prev is not None:
+            yield prev
+
+    for iml, imr, t in _stream():
         if params.stereo and imr is not None:
             if args.chunk > 1:
                 batch.append((iml, imr, t))
@@ -74,6 +101,7 @@ def main(argv=None):
     os.makedirs(args.out, exist_ok=True)
     slam.write_results(args.out)
     print(f"processed {n} frames in {dt:.1f}s ({n / max(dt, 1e-9):.2f} fps); "
+          f"dropped {n_dropped}; "
           f"{len(slam.map.keyframes)} keyframes, {slam.map.n_3d()} landmarks; "
           f"results in {args.out}")
     if params.log_timings:

@@ -105,10 +105,12 @@ class Estimator:
                 if kfid not in opt_set and kfid not in const_kfs and kfid in m.keyframes:
                     const_kfs.append(kfid)
         const_kfs = const_kfs[: max_kfs - len(opt_kfs)]
-        # gauge: ensure at least one constant KF (stereo; optimizer.cpp:396-407),
-        # else fix the oldest optimized one
-        if not const_kfs and len(opt_kfs) > 1:
-            const_kfs = [opt_kfs.pop()]  # lowest-covis KF becomes gauge
+        # gauge fixing (optimizer.cpp:65-68, 396-407): stereo needs >= 1
+        # constant KF; mono needs >= 2 (a single fixed pose leaves global
+        # scale free in reprojection-only BA => scale drift across BAs)
+        nmincst = 1 if p.stereo else 2
+        while len(const_kfs) < nmincst and len(opt_kfs) > 1:
+            const_kfs.append(opt_kfs.pop())  # lowest-covis KFs become gauge
 
         kf_list = opt_kfs + const_kfs
         kf_slot = {kfid: i for i, kfid in enumerate(kf_list)}
@@ -155,8 +157,11 @@ class Estimator:
             Xw[j] = m.lm_pos[lmid]
             lm_valid[j] = True
 
-        # observations: every (kf in window) x (lm in window), skipping the
-        # anchor's own left-cam obs (zero residual by construction)
+        # observations: every (kf in window) x (lm in window); in inverse-
+        # depth mode the anchor's own left-cam obs has zero residual by
+        # construction and is skipped, but in XYZ mode it is a real
+        # constraint and must be kept (advisor finding r1 #4)
+        skip_anchor_obs = bool(p.buse_inv_depth)
         obs_kf = np.zeros(O, np.int32)
         obs_lm = np.zeros(O, np.int32)
         obs_px = np.zeros((O, 2), np.float32)
@@ -174,7 +179,7 @@ class Estimator:
                     continue
                 if n >= O - 1:
                     break
-                if int(m.lm_anchor[lmid]) != kfid:
+                if not skip_anchor_obs or int(m.lm_anchor[lmid]) != kfid:
                     obs_kf[n] = kf_slot[kfid]
                     obs_lm[n] = j
                     obs_px[n] = rec.unpx[s]
@@ -224,7 +229,8 @@ class Estimator:
         p = self.params
         result = ba_mod.solve_ba(
             prob, invdepth=p.buse_inv_depth, max_iters=max_iters, robust=True,
-            th2_mono=p.robust_mono_th, th2_stereo=p.robust_stereo_th)
+            th2_mono=p.robust_mono_th, th2_stereo=p.robust_stereo_th,
+            l2_refine=p.apply_l2_after_robust)
         # start the transfers now; they complete while tracking continues
         for a in (result.R, result.t, result.Xw, result.lam, result.obs_inlier):
             try:
@@ -249,7 +255,8 @@ class Estimator:
         p = self.params
         result = ba_mod.solve_ba(
             prob, invdepth=p.buse_inv_depth, max_iters=max_iters, robust=True,
-            th2_mono=p.robust_mono_th, th2_stereo=p.robust_stereo_th)
+            th2_mono=p.robust_mono_th, th2_stereo=p.robust_stereo_th,
+            l2_refine=p.apply_l2_after_robust)
         return self._writeback(m, prob, kf_list, lm_ids, meta, result, out)
 
     def _writeback(self, m, prob, kf_list, lm_ids, meta, result, out) -> BAOutcome:
@@ -331,7 +338,8 @@ class Estimator:
         p = self.params
         result = ba_mod.solve_ba(
             prob, invdepth=p.buse_inv_depth, max_iters=max_iters, robust=True,
-            th2_mono=p.robust_mono_th, th2_stereo=p.robust_stereo_th)
+            th2_mono=p.robust_mono_th, th2_stereo=p.robust_stereo_th,
+            l2_refine=p.apply_l2_after_robust)
         R_np, t_np, Xw_np, lam_np = fetch_np(
             result.R, result.t, result.Xw, result.lam)
         for i, kfid_i in enumerate(kf_list):

@@ -51,9 +51,18 @@ def calib_of(cam: Camera) -> Calib:
     return Calib(cam.fx, cam.fy, cam.cx, cam.cy)
 
 
+def ransac_hyps_of(params: SlamParams) -> int:
+    """Map the reference's nransac_iter (sequential adaptive iterations) to a
+    batched hypothesis count: 2x, rounded up to a power of two (a batched
+    evaluator has no early exit, so it needs the full-budget count), floor
+    128. nransac_iter=100 (all reference presets) => 256."""
+    return max(128, 1 << (2 * max(int(params.nransac_iter), 1) - 1).bit_length())
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("nklt_pyr_lvl", "nklt_win", "nmax_iter", "do_epipolar"),
+    static_argnames=("nklt_pyr_lvl", "nklt_win", "nmax_iter", "do_epipolar",
+                     "n_ransac_hyps", "dop3p"),
 )
 def track_frame(
     prev_pyr: Tuple[jnp.ndarray, ...],
@@ -78,6 +87,8 @@ def track_frame(
     fransac_err: float = 3.0,
     robust_th2: float = 5.9915,
     min_pnp_inliers: int = 5,
+    n_ransac_hyps: int = 256,
+    dop3p: bool = False,
     prev_gpyr=None,
     cur_gpyr=None,
 ) -> TrackResult:
@@ -136,7 +147,7 @@ def track_frame(
         def run_ransac(_):
             eres = mvg.essential_ransac(
                 prev_bv, kps2.bv, kps2.valid, key,
-                err_th=fransac_err / focal, n_hyps=256)
+                err_th=fransac_err / focal, n_hyps=n_ransac_hyps)
             keep_ratio = jnp.sum(eres.inliers) / jnp.maximum(
                 jnp.sum(kps2.valid), 1)
             apply = eres.success & (keep_ratio > 0.5)
@@ -163,13 +174,31 @@ def track_frame(
         cal, SE3(R_prev, t_prev), Xw, kps2.unpx, kp3d, robust_th2=robust_th2)
     a_better = (pnp_a.n_inliers > pnp_b.n_inliers) | (
         (pnp_a.n_inliers == pnp_b.n_inliers) & (pnp_a.cost <= pnp_b.cost))
-    pnp = pnp_mod.PnPResult(
-        T_cw=SE3(jnp.where(a_better, pnp_a.T_cw.R, pnp_b.T_cw.R),
-                 jnp.where(a_better, pnp_a.T_cw.t, pnp_b.T_cw.t)),
-        chi2=jnp.where(a_better, pnp_a.chi2, pnp_b.chi2),
-        inliers=jnp.where(a_better, pnp_a.inliers, pnp_b.inliers),
-        n_inliers=jnp.where(a_better, pnp_a.n_inliers, pnp_b.n_inliers),
-        cost=jnp.where(a_better, pnp_a.cost, pnp_b.cost))
+
+    def _pick(cond, x, y):
+        return pnp_mod.PnPResult(
+            T_cw=SE3(jnp.where(cond, x.T_cw.R, y.T_cw.R),
+                     jnp.where(cond, x.T_cw.t, y.T_cw.t)),
+            chi2=jnp.where(cond, x.chi2, y.chi2),
+            inliers=jnp.where(cond, x.inliers, y.inliers),
+            n_inliers=jnp.where(cond, x.n_inliers, y.n_inliers),
+            cost=jnp.where(cond, x.cost, y.cost))
+
+    pnp = _pick(a_better, pnp_a, pnp_b)
+
+    if dop3p:
+        # P3P-RANSAC in the per-frame hot path (visual_front_end.cpp:688-740,
+        # run whenever dop3p_ — the fast preset's tier): the winning minimal-
+        # solver pose seeds PnP, with P3P outliers removed from its problem.
+        focal3 = 0.5 * (cam.fx + cam.fy)
+        key_p = jax.random.split(key, 2)[1]
+        T_p3p, p3p_inl, p3p_n, p3p_ok = mvg.p3p_ransac(
+            Xw, kps2.bv, kp3d, key_p,
+            err_th_norm=fransac_err / focal3, n_hyps=n_ransac_hyps)
+        pnp_c = pnp_mod.pnp_robust_then_l2(
+            cal, T_p3p, Xw, kps2.unpx, kp3d & p3p_inl, robust_th2=robust_th2)
+        use_c = p3p_ok & (pnp_c.n_inliers >= min_pnp_inliers)
+        pnp = _pick(use_c, pnp_c, pnp)
     pose_ok = pnp.n_inliers >= min_pnp_inliers
     R_out = jnp.where(pose_ok, pnp.T_cw.R, R_prior)
     t_out = jnp.where(pose_ok, pnp.T_cw.t, t_prior)
@@ -313,6 +342,8 @@ def _frame_step_impl(
     do_epipolar: bool = True,
     fransac_err: float = 3.0,
     robust_th2: float = 5.9915,
+    n_ransac_hyps: int = 256,
+    dop3p: bool = False,
 ):
     """One frame: preprocess + motion model + track + pose + stats.
 
@@ -340,6 +371,7 @@ def _frame_step_impl(
         fmax_fbklt_dist=fmax_fbklt_dist, klt_err=klt_err,
         do_epipolar=do_epipolar, fransac_err=fransac_err,
         robust_th2=robust_th2,
+        n_ransac_hyps=n_ransac_hyps, dop3p=dop3p,
         prev_gpyr=tuple(zip(state.gx, state.gy)),
         cur_gpyr=tuple(zip(cur_gx, cur_gy)))
 
@@ -367,7 +399,7 @@ def _frame_step_impl(
 frame_step = functools.partial(
     jax.jit,
     static_argnames=("levels", "use_clahe", "nklt_win", "nmax_iter",
-                     "do_epipolar"),
+                     "do_epipolar", "n_ransac_hyps", "dop3p"),
     donate_argnums=(0,),
 )(_frame_step_impl)
 
@@ -375,7 +407,7 @@ frame_step = functools.partial(
 @functools.partial(
     jax.jit,
     static_argnames=("levels", "use_clahe", "nklt_win", "nmax_iter",
-                     "do_epipolar"),
+                     "do_epipolar", "n_ransac_hyps", "dop3p"),
     donate_argnums=(0,),
 )
 def frame_chunk_step(
@@ -395,6 +427,8 @@ def frame_chunk_step(
     do_epipolar: bool = True,
     fransac_err: float = 3.0,
     robust_th2: float = 5.9915,
+    n_ransac_hyps: int = 256,
+    dop3p: bool = False,
 ):
     """Track N consecutive frames in ONE dispatch (lax.scan over the fused
     per-frame step): the host round trip amortizes over the chunk. Keyframe
@@ -404,7 +438,8 @@ def frame_chunk_step(
         st2, stats = _frame_step_impl(
             st, img, lm_pos, lm_is3d, cam, levels, use_clahe, clahe_clip,
             nklt_win, nmax_iter, fmax_px_precision, fmax_fbklt_dist,
-            klt_err, do_epipolar, fransac_err, robust_th2)
+            klt_err, do_epipolar, fransac_err, robust_th2,
+            n_ransac_hyps, dop3p)
         return st2, stats
 
     state2, stats = jax.lax.scan(body, state, imgs_u8)

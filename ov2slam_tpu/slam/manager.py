@@ -93,6 +93,13 @@ class SlamSystem:
             self.T_rl = SE3(jnp.eye(3, dtype=jnp.float32),
                             jnp.asarray([-baseline, 0.0, 0.0], jnp.float32))
 
+        if p.use_dogleg or p.use_subspace_dogleg:
+            import warnings
+            warnings.warn(
+                "use_dogleg/use_subspace_dogleg are not implemented: the "
+                "device solver is Levenberg-Marquardt (trust-region damping); "
+                "the flags are ignored", stacklevel=2)
+
         self.kp_cap = p.kp_cap
         self.logger = TrajectoryLogger()
         self.prof = Profiler.instance()
@@ -187,7 +194,8 @@ class SlamSystem:
                 fmax_px_precision=p.fmax_px_precision,
                 fmax_fbklt_dist=p.fmax_fbklt_dist, klt_err=p.nklt_err,
                 do_epipolar=p.doepipolar, fransac_err=p.fransac_err,
-                robust_th2=p.robust_mono_th)
+                robust_th2=p.robust_mono_th,
+                n_ransac_hyps=fe_mod.ransac_hyps_of(p), dop3p=p.dop3p)
             try:
                 stats.copy_to_host_async()
             except AttributeError:
@@ -228,7 +236,7 @@ class SlamSystem:
             if (self._lost_frames >= 3 and self.initialized
                     and self.loopcloser is not None):
                 # total tracking loss: relocalize against the place index
-                if self._try_relocalize(iml):
+                if self._try_relocalize(iml, time):
                     pose_ok = True
                     self._lost_frames = 0
 
@@ -248,7 +256,7 @@ class SlamSystem:
             T_wkf = np.linalg.inv(self.map.keyframes[self.cur_kfid].T_cw)
         self.logger.add(time, self.T_wc(), need_kf, self.cur_kfid, T_wkf)
 
-    def process_stereo_chunk(self, frames, imr_last=None):
+    def process_stereo_chunk(self, frames):
         """Throughput mode: track a list of (iml, imr, t) frames in one
         device dispatch (lax.scan). Keyframe decisions quantize to the chunk
         boundary — appropriate for offline replay / benchmarking (the
@@ -267,8 +275,14 @@ class SlamSystem:
         self.frame_id += len(frames)
         imgs = np.stack([np.ascontiguousarray(f[0]).astype(np.uint8)
                          for f in frames])
+        imr_last = np.ascontiguousarray(frames[-1][1]).astype(np.uint8)
         if self.rect_maps is not None:
             imgs = np.stack([self._rectify(f, 0) for f in imgs]).astype(np.uint8)
+            # the right image is only consumed at keyframes; rectify the last
+            # one (the KF candidate) so stereo matching sees the same geometry
+            # as the per-frame path (advisor finding r1 #1)
+            imr_last = self._rectify(imr_last, 1).astype(np.uint8)
+        self._last_imr = imr_last
         lm_pos, lm_is3d = self.map.device_landmarks()
         with self.prof.scope("0.Full-Front_End"):
             self.fe_state, stats = fe_mod.frame_chunk_step(
@@ -280,7 +294,8 @@ class SlamSystem:
                 fmax_px_precision=p.fmax_px_precision,
                 fmax_fbklt_dist=p.fmax_fbklt_dist, klt_err=p.nklt_err,
                 do_epipolar=p.doepipolar, fransac_err=p.fransac_err,
-                robust_th2=p.robust_mono_th)
+                robust_th2=p.robust_mono_th,
+                n_ransac_hyps=fe_mod.ransac_hyps_of(p), dop3p=p.dop3p)
             stats_np = np.asarray(stats)        # (N, 12)
 
         need_kf = False
@@ -292,7 +307,9 @@ class SlamSystem:
                 T[:3, :3] = _mat_from_quat_np(row[8:12])
                 T[:3, 3] = row[5:8]
                 self.T_cw = T
-            self.frames_since_kf += 1
+            # evaluate the KF heuristics with the pre-increment counter to
+            # match per-frame semantics (_finalize_frame decides first,
+            # increments only when no KF is created)
             need_kf = need_kf or fe_mod.check_new_kf(
                 p, int(row[1]), int(row[2]), float(row[4]),
                 self.frames_since_kf, self.n3d_at_kf, pose_ok,
@@ -300,7 +317,9 @@ class SlamSystem:
             is_last = j == len(frames) - 1
             if is_last and need_kf:
                 with self.prof.scope("1.KF_Processing"):
-                    self._create_keyframe(iml, frames[-1][1], t)
+                    self._create_keyframe(iml, imr_last, t)
+            else:
+                self.frames_since_kf += 1
             T_wkf = None
             if self.cur_kfid in self.map.keyframes:
                 T_wkf = np.linalg.inv(self.map.keyframes[self.cur_kfid].T_cw)
@@ -335,7 +354,7 @@ class SlamSystem:
         return np.linalg.inv(self.T_cw.astype(np.float64)).astype(np.float32)
 
     # ------------------------------------------------------------------
-    def _try_relocalize(self, iml) -> bool:
+    def _try_relocalize(self, iml, time: float) -> bool:
         """Query the BoW index with the lost frame, verify with P3P + PnP,
         reset the pose, and rebuild the keypoint table via a forced keyframe
         (local-map matching then re-associates landmarks)."""
@@ -364,8 +383,10 @@ class SlamSystem:
             R_vel=jnp.eye(3, dtype=jnp.float32),
             t_vel=jnp.zeros(3, jnp.float32))
         # drop the stale keypoint table and rebuild from a forced keyframe
+        # (with the lost frame's real timestamp so KF cadence + the KF
+        # trajectory log stay correct)
         self._set_kps(frame_mod.FrameKps.empty(self.kp_cap))
-        self._create_keyframe(None, self._last_imr, 0.0, run_ba=False,
+        self._create_keyframe(None, self._last_imr, time, run_ba=False,
                               stereo=self.params.stereo and self._last_imr is not None)
         return True
 
@@ -426,7 +447,8 @@ class SlamSystem:
                 fmax_px_precision=p.fmax_px_precision,
                 fmax_fbklt_dist=p.fmax_fbklt_dist, klt_err=p.nklt_err,
                 do_epipolar=p.doepipolar, fransac_err=p.fransac_err,
-                robust_th2=p.robust_mono_th)
+                robust_th2=p.robust_mono_th,
+                n_ransac_hyps=fe_mod.ransac_hyps_of(p), dop3p=p.dop3p)
             stats_np = np.asarray(stats)
 
         pose_ok = stats_np[0] > 0.5
@@ -542,7 +564,9 @@ class SlamSystem:
             n_cells = nh * nw
             cand_ids = self.map.alloc_landmarks(n_cells)
             anc = self._assemble_anchor_data(prev_kfid)
-            detector = "fast" if p.use_fast else "singlescale"
+            # detector choice mirrors map_manager.cpp:300-322
+            detector = ("gftt" if p.use_shi_tomasi
+                        else "fast" if p.use_fast else "singlescale")
             if stereo:
                 right_pyr = fe_mod.preprocess(
                     jax.device_put(np.ascontiguousarray(imr).astype(np.uint8)),

@@ -83,7 +83,43 @@ class MapStore:
     # landmarks
     # ------------------------------------------------------------------
 
+    def _grow(self, min_cap: int):
+        """Double the landmark arena until it holds min_cap slots. Rare (a
+        handful of times on KITTI-length sequences); each growth changes the
+        device-array shapes and therefore costs one re-jit of the tracking
+        step — logged so long-run perf regressions are attributable."""
+        new_cap = self.cap
+        while new_cap < min_cap:
+            new_cap *= 2
+        if new_cap == self.cap:
+            return
+        import sys
+        print(f"[map] growing landmark arena {self.cap} -> {new_cap}",
+              file=sys.stderr)
+        extra = new_cap - self.cap
+
+        def pad(a, fill=0):
+            shape = (extra,) + a.shape[1:]
+            return np.concatenate([a, np.full(shape, fill, a.dtype)])
+
+        self.lm_pos = pad(self.lm_pos)
+        self.lm_lam = pad(self.lm_lam, 1)
+        self.lm_anchor = pad(self.lm_anchor, -1)
+        self.lm_bearing = pad(self.lm_bearing)
+        self.lm_valid = pad(self.lm_valid, False)
+        self.lm_is3d = pad(self.lm_is3d, False)
+        self.lm_desc = pad(self.lm_desc)
+        self.lm_desc_ok = pad(self.lm_desc_ok, False)
+        self.lm_bit_votes = pad(self.lm_bit_votes)
+        self.lm_desc_n = pad(self.lm_desc_n)
+        # new slots go to the back of the free stack (popped last)
+        self._free = list(range(new_cap - 1, self.cap - 1, -1)) + self._free
+        self.cap = new_cap
+        self._device_dirty = True
+
     def alloc_landmarks(self, n: int) -> np.ndarray:
+        if len(self._free) < n:
+            self._grow(self.cap + (n - len(self._free)))
         ids = np.asarray([self._free.pop() for _ in range(n)], np.int32)
         for i in ids:
             self.lm_obs[int(i)] = set()

@@ -333,12 +333,19 @@ def kf_step(
     img = left_pyr[0]
 
     # ---- detect + insert ----
+    # "singlescale" = per-cell min-eig max (detectSingleScale,
+    # feature_extractor.cpp:288-440); "fast" = per-cell FAST-9 best
+    # (detectGridFAST, :443-570); "gftt" (use_shi_tomasi) = min-eig grid +
+    # cornerSubPix refinement (detectGFTT, :104-221 — its two-pass
+    # quality-halving is covered by the host's adaptive quality state).
     if detector == "fast":
         resp = det_mod.fast_score(img, float(fast_th))
     else:
         resp = det_mod.min_eig_response(img)
     det = det_mod.grid_select(resp, kps.px, kps.valid, cellsize, quality_th)
-    kps2 = None
+    if detector == "gftt":
+        det = det._replace(
+            points=det_mod.corner_subpix(img, det.points, det.valid))
     from ov2slam_tpu.slam import frame as frame_mod
     kps2 = frame_mod.insert_keypoints(
         kps, cam_l, det.points, det.valid, cand_lmids)
