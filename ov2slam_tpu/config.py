@@ -166,10 +166,20 @@ class SlamParams:
     # Fixed landmark / keyframe arena capacities for the device map store.
     lm_capacity: int = 1 << 14
     # Defer BA writeback by one keyframe (solve overlaps tracking). Slightly
-    # stales the map corrections; off by default.
+    # stales the map corrections; off by default (on under force_realtime).
     async_ba: bool = False
+    # force_realtime pipeline depth: frame i-k is finalized when frame i
+    # arrives, hiding the host<->device round trip behind k frames of device
+    # work. Keyframe decisions lag by up to k frames (the KF itself is
+    # created on the newest frame, like the reference under frame dropping).
+    pipeline_depth: int = 3
     kf_capacity: int = 1 << 11
     dtype: str = "float32"
+    # Global matmul precision. TPU MXU default is bfloat16 inputs, which is
+    # fine for image filtering but silently degrades every geometry matmul
+    # (pose application, PnP/BA normal equations): measured 8x ATE loss on the
+    # synthetic bench. "highest" = full-f32 multi-pass; ~10% fps cost.
+    matmul_precision: str = "highest"
 
     # --- derived -----------------------------------------------------------
     @property
@@ -293,4 +303,9 @@ class SlamParams:
             nmin_covscore=int(_get(d, "nmin_covscore", 25)),
             fkf_filtering_ratio=float(_get(d, "fkf_filtering_ratio", 0.95)),
             do_full_ba=b("do_full_ba"),
+            kp_capacity=int(_get(d, "kp_capacity", 0)),
+            lm_capacity=int(_get(d, "lm_capacity", 1 << 14)),
+            async_ba=b("async_ba", bool(int(_get(d, "force_realtime", 0)))),
+            pipeline_depth=int(_get(d, "pipeline_depth", 3)),
+            matmul_precision=str(_get(d, "matmul_precision", "highest")),
         )

@@ -29,49 +29,51 @@ class KLTResult(NamedTuple):
 
 
 # ---------------------------------------------------------------------------
-# gather-free windowed sampling
+# gather-free whole-image patch sampling
 #
 # TPU gathers go through the scalar pipeline and dominate the tracking cost
-# if each GN iteration gathers its patch. Instead we extract one integer
-# window per keypoint per level (a single batched gather), then express
-# bilinear patch sampling INSIDE the window as two batched matmuls with
-# hat-function weight matrices: patch = Wy @ window @ Wx^T with
-# W[i, j] = max(0, 1 - |j - q_i|). All GN iterations then run entirely on
-# the VPU/MXU with zero gathers.
+# if each GN iteration gathers its patch. Instead, bilinear patch sampling is
+# expressed as two MXU matmuls against the WHOLE image with hat-function
+# weight matrices: patch = Wy @ img @ Wx^T, where Wy (N, win, H) and
+# Wx (N, win, W) have rows w[j] = max(0, 1 - |j - q|) (exactly two nonzero
+# entries per row => exact bilinear interpolation). The matmul "wastes" flops
+# on the mostly-zero weights, but at this problem size the MXU is otherwise
+# idle and the win is eliminating every gather, window extraction, and
+# re-centering chunk from the GN iteration — the whole level is one
+# while_loop of dense matmuls.
 # ---------------------------------------------------------------------------
 
-def _extract_windows(img: jnp.ndarray, origin: jnp.ndarray, ws: int) -> jnp.ndarray:
-    """img (H, W); origin (N, 2) int (x, y) -> (N, ws, ws) windows.
-
-    Out-of-range origins clamp (jax dynamic_slice semantics)."""
-
-    def one(o):
-        return jax.lax.dynamic_slice(img, (o[1], o[0]), (ws, ws))
-
-    return jax.vmap(one)(origin)
+_PREC = jax.lax.Precision.HIGHEST   # full-f32 MXU passes; bf16 default would
+                                    # quantize image values and break subpixel
+                                    # convergence
 
 
-def _hat_weights(q: jnp.ndarray, ws: int) -> jnp.ndarray:
-    """q (N, win) continuous positions -> (N, win, ws) linear-interp weights."""
-    j = jnp.arange(ws, dtype=q.dtype)
+def _hat_weights(q: jnp.ndarray, size: int) -> jnp.ndarray:
+    """q (N, win) absolute positions -> (N, win, size) bilinear weights."""
+    j = jnp.arange(size, dtype=q.dtype)
     return jnp.maximum(0.0, 1.0 - jnp.abs(j[None, None, :] - q[..., None]))
 
 
-def _sample_patches_windowed(
-    windows: jnp.ndarray,    # (N, ws, ws)
-    pos_in_win: jnp.ndarray, # (N, 2) float position of the patch center
-    win: int,
-) -> jnp.ndarray:
-    """Bilinear win x win patches inside per-kp windows -> (N, win*win)."""
-    ws = windows.shape[-1]
+def _hat_xy(pts: jnp.ndarray, win: int, H: int, W: int):
+    """Hat weight matrices for win x win patches centered at pts (N, 2)."""
     r = (win - 1) / 2.0
-    offs = jnp.arange(win, dtype=windows.dtype) - r            # (win,)
-    qx = pos_in_win[:, None, 0] + offs[None, :]                # (N, win)
-    qy = pos_in_win[:, None, 1] + offs[None, :]
-    Wx = _hat_weights(qx, ws)                                  # (N, win, ws)
-    Wy = _hat_weights(qy, ws)
-    p = jnp.einsum("naj,njk,nbk->nab", Wy, windows, Wx)
-    return p.reshape(p.shape[0], win * win)
+    offs = jnp.arange(win, dtype=pts.dtype) - r
+    Wx = _hat_weights(pts[:, None, 0] + offs[None, :], W)   # (N, win, W)
+    Wy = _hat_weights(pts[:, None, 1] + offs[None, :], H)   # (N, win, H)
+    return Wy, Wx
+
+
+def _sample_patches_mm(imgs, Wy: jnp.ndarray, Wx: jnp.ndarray):
+    """Sample win x win patches from one image (H, W) or a stack (C, H, W)
+    via hat-weight matmuls. Returns (N, win*win) or (C, N, win*win)."""
+    single = imgs.ndim == 2
+    if single:
+        imgs = imgs[None]
+    rows = jnp.einsum("nah,chw->cnaw", Wy, imgs, precision=_PREC)
+    p = jnp.einsum("cnaw,nbw->cnab", rows, Wx, precision=_PREC)
+    n, win = Wy.shape[0], Wy.shape[1]
+    p = p.reshape(p.shape[0], n, win * win)
+    return p[0] if single else p
 
 
 def _track_level(
@@ -85,35 +87,21 @@ def _track_level(
     eps: float,
     min_eig_th: float,
     prev_grad: Tuple[jnp.ndarray, jnp.ndarray] = None,
-    n_chunks: int = 3,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """One pyramid level of LK, windowed/gather-free. Returns (new_pts, ok, err).
-
-    GN iterations run in `n_chunks` chunks; per-keypoint windows are
-    re-extracted at each chunk start so each chunk allows ~±4 px of motion."""
+    """One pyramid level of LK, gather-free. Returns (new_pts, ok, err)."""
     H, W = prev_img.shape
     half = (win - 1) / 2.0
-    ws = win + 11                      # patch + per-chunk motion + bilinear
-    margin = (ws - win) / 2.0 - 1.5    # max in-window deviation per chunk
-    hw = ws // 2
     dt = prev_pts.dtype
 
-    def origins(pts):
-        o = jnp.round(pts).astype(jnp.int32) - hw
-        ox = jnp.clip(o[:, 0], 0, W - ws)
-        oy = jnp.clip(o[:, 1], 0, H - ws)
-        return jnp.stack([ox, oy], axis=-1)
-
-    # template patches + gradients at prev_pts (fixed for all iterations)
+    # template patches + gradients at prev_pts (fixed for all iterations),
+    # sampled in ONE stacked matmul
     if prev_grad is None:
         ix_img, iy_img = im.scharr_gradients(prev_img)
     else:
         ix_img, iy_img = prev_grad
-    o_prev = origins(prev_pts)
-    pos_prev = prev_pts - o_prev.astype(dt)
-    tmpl = _sample_patches_windowed(_extract_windows(prev_img, o_prev, ws), pos_prev, win)
-    gx = _sample_patches_windowed(_extract_windows(ix_img, o_prev, ws), pos_prev, win)
-    gy = _sample_patches_windowed(_extract_windows(iy_img, o_prev, ws), pos_prev, win)
+    Wy0, Wx0 = _hat_xy(prev_pts, win, H, W)
+    tmpl, gx, gy = _sample_patches_mm(
+        jnp.stack([prev_img, ix_img, iy_img]), Wy0, Wx0)
 
     # 2x2 spatial gradient matrix per keypoint
     gxx = jnp.sum(gx * gx, axis=-1)
@@ -135,48 +123,36 @@ def _track_level(
     )
     track = valid & well_cond & in_bounds0
 
-    iters_per_chunk = max(1, (max_iters + n_chunks - 1) // n_chunks)
-    pts = guess
-    active = track
-    nwin = None
-    o_next = None
-    for _ in range(n_chunks):
-        o_next = origins(pts)
-        nwin = _extract_windows(next_img, o_next, ws)
-        ctr = o_next.astype(dt) + hw
+    def sample_next(p):
+        Wy, Wx = _hat_xy(p, win, H, W)
+        return _sample_patches_mm(next_img, Wy, Wx)
 
-        def cond(carry):
-            it, p, a = carry
-            return (it < iters_per_chunk) & jnp.any(a)
-
-        def body(carry):
-            it, p, a = carry
-            cur = _sample_patches_windowed(nwin, p - o_next.astype(dt), win)
-            diff = cur - tmpl
-            bx = jnp.sum(diff * gx, axis=-1)
-            by = jnp.sum(diff * gy, axis=-1)
-            # delta = -G^-1 b
-            dx = -(gyy * bx - gxy * by) * inv_det
-            dy = -(-gxy * bx + gxx * by) * inv_det
-            delta = jnp.stack([dx, dy], axis=-1)
-            step = jnp.where(a[:, None], delta, 0.0)
-            new_p = p + step
-            conv = jnp.sum(step * step, axis=-1) < eps * eps
-            # pause points that left the window; the next chunk re-centers
-            dev = jnp.max(jnp.abs(new_p - ctr), axis=-1)
-            a = a & ~conv & (dev <= margin)
-            return it + 1, new_p, a
-
-        _, pts, _ = jax.lax.while_loop(cond, body, (jnp.asarray(0), pts, active))
-        # reactivate unconverged points for the next (re-centered) chunk
-        cur = _sample_patches_windowed(nwin, pts - o_next.astype(dt), win)
+    def gn_delta(p, a):
+        cur = sample_next(p)
         diff = cur - tmpl
         bx = jnp.sum(diff * gx, axis=-1)
         by = jnp.sum(diff * gy, axis=-1)
+        # delta = -G^-1 b
         dx = -(gyy * bx - gxy * by) * inv_det
         dy = -(-gxy * bx + gxx * by) * inv_det
-        notconv = (dx * dx + dy * dy) >= eps * eps
-        active = track & notconv
+        return jnp.where(a[:, None], jnp.stack([dx, dy], axis=-1), 0.0)
+
+    def cond(carry):
+        it, p, a = carry
+        return (it < max_iters) & jnp.any(a)
+
+    def body(carry):
+        it, p, a = carry
+        step = gn_delta(p, a)
+        new_p = p + step
+        conv = jnp.sum(step * step, axis=-1) < eps * eps
+        # drop points that wandered out of the image (their samples are 0)
+        inb = ((new_p[:, 0] >= 0) & (new_p[:, 0] < W - 1)
+               & (new_p[:, 1] >= 0) & (new_p[:, 1] < H - 1))
+        return it + 1, new_p, a & ~conv & inb
+
+    _, pts, _ = jax.lax.while_loop(
+        cond, body, (jnp.asarray(0), guess, track))
 
     in_bounds1 = (
         (pts[:, 0] >= half) & (pts[:, 0] < W - half)
@@ -184,8 +160,7 @@ def _track_level(
     )
     ok = track & in_bounds1
 
-    cur = _sample_patches_windowed(nwin, pts - o_next.astype(dt), win)
-    err = jnp.mean(jnp.abs(cur - tmpl), axis=-1)
+    err = jnp.mean(jnp.abs(sample_next(pts) - tmpl), axis=-1)
     return pts, ok, err
 
 

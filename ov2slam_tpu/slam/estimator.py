@@ -76,20 +76,20 @@ class Estimator:
         opt_kfs = [new_kfid] + [k for k, c in ranked if c >= p.nmin_covscore]
         opt_kfs = opt_kfs[:max_kfs - 2]
 
-        # landmarks observed by the optimized window
-        lm_set: List[int] = []
-        seen = set()
+        # landmarks observed by the optimized window (vectorized; first-
+        # occurrence order preserved so the cap keeps the newest KF's kps)
+        groups = []
         for kfid in opt_kfs:
             rec = m.keyframes.get(kfid)
-            if rec is None:
-                continue
-            for s in np.nonzero(rec.valid & rec.is3d & (rec.lmid >= 0))[0]:
-                lmid = int(rec.lmid[s])
-                if lmid not in seen and m.lm_valid[lmid] and m.lm_is3d[lmid]:
-                    seen.add(lmid)
-                    lm_set.append(lmid)
-        lm_set = lm_set[:max_lms]
-        lm_in = set(lm_set)
+            if rec is not None:
+                groups.append(rec.lmid[rec.valid & rec.is3d & (rec.lmid >= 0)])
+        if not groups:
+            return None
+        cat = np.concatenate(groups)
+        _, first_idx = np.unique(cat, return_index=True)
+        uniq = cat[np.sort(first_idx)]
+        good = m.lm_valid[uniq] & m.lm_is3d[uniq]
+        lm_set = [int(x) for x in uniq[good][:max_lms]]
         if len(lm_set) < 8:
             return None
 
@@ -127,7 +127,6 @@ class Estimator:
             opt_set.discard(kf_list[-1])
         kf_slot = {kfid: i for i, kfid in enumerate(kf_list)}
         lm_set = lm_set[:L]
-        lm_in = set(lm_set)
 
         R = np.tile(np.eye(3, dtype=np.float32), (F, 1, 1))
         t = np.zeros((F, 3), np.float32)
@@ -138,67 +137,90 @@ class Estimator:
             t[i] = T[:3, 3]
             pose_opt[i] = kfid in opt_set
 
-        lm_slot = {lmid: j for j, lmid in enumerate(lm_set)}
+        lm_ids_np = np.asarray(lm_set, np.int64)
+        lm_slot_arr = np.full(m.cap, -1, np.int32)
+        lm_slot_arr[lm_ids_np] = np.arange(len(lm_set), dtype=np.int32)
+        max_kfid = max(kf_list) + 1
+        kfid_to_slot = np.full(max_kfid + 1, -1, np.int32)
+        for kfid, i in kf_slot.items():
+            kfid_to_slot[kfid] = i
+
         anchor = np.zeros(L, np.int32)
         bearing = np.zeros((L, 3), np.float32)
         bearing[:, 2] = 1.0
         lam = np.ones(L, np.float32)
         Xw = np.zeros((L, 3), np.float32)
         lm_valid = np.zeros(L, bool)
-        drop_lms = []
-        for lmid, j in lm_slot.items():
-            a = int(m.lm_anchor[lmid])
-            if a not in kf_slot:
-                drop_lms.append(lmid)
-                continue
-            anchor[j] = kf_slot[a]
-            bearing[j] = m.lm_bearing[lmid]
-            lam[j] = m.lm_lam[lmid]
-            Xw[j] = m.lm_pos[lmid]
-            lm_valid[j] = True
+        anc_kf = m.lm_anchor[lm_ids_np]
+        anc_slot = np.where((anc_kf >= 0) & (anc_kf <= max_kfid),
+                            kfid_to_slot[np.clip(anc_kf, 0, max_kfid)], -1)
+        ok = anc_slot >= 0
+        jj = np.arange(len(lm_set))[ok]
+        anchor[jj] = anc_slot[ok]
+        bearing[jj] = m.lm_bearing[lm_ids_np[ok]]
+        lam[jj] = m.lm_lam[lm_ids_np[ok]]
+        Xw[jj] = m.lm_pos[lm_ids_np[ok]]
+        lm_valid[jj] = True
 
         # observations: every (kf in window) x (lm in window); in inverse-
         # depth mode the anchor's own left-cam obs has zero residual by
         # construction and is skipped, but in XYZ mode it is a real
-        # constraint and must be kept (advisor finding r1 #4)
+        # constraint and must be kept (advisor finding r1 #4). Vectorized
+        # per keyframe.
         skip_anchor_obs = bool(p.buse_inv_depth)
+        okf, olm, opx, orgt = [], [], [], []
+        mkf, mlm, mslot, mright = [], [], [], []
+        for kfid in kf_list:
+            rec = m.keyframes[kfid]
+            slots = np.nonzero(rec.valid & rec.is3d & (rec.lmid >= 0))[0]
+            lmids = rec.lmid[slots]
+            j = lm_slot_arr[lmids]
+            keep = (j >= 0)
+            keep[keep] &= lm_valid[j[keep]]
+            slots, lmids, j = slots[keep], lmids[keep], j[keep]
+            # left-cam observations (minus the anchor's own, in invdepth mode)
+            if skip_anchor_obs:
+                lsel = m.lm_anchor[lmids] != kfid
+            else:
+                lsel = np.ones(len(slots), bool)
+            okf.append(np.full(lsel.sum(), kf_slot[kfid], np.int32))
+            olm.append(j[lsel])
+            opx.append(rec.unpx[slots[lsel]])
+            orgt.append(np.zeros(lsel.sum(), bool))
+            mkf.append(np.full(lsel.sum(), kfid, np.int64))
+            mlm.append(lmids[lsel])
+            mslot.append(slots[lsel])
+            mright.append(np.zeros(lsel.sum(), bool))
+            # right-cam observations (undistorted rpx kept by the mapper)
+            rsel = rec.has_right[slots]
+            okf.append(np.full(rsel.sum(), kf_slot[kfid], np.int32))
+            olm.append(j[rsel])
+            opx.append(rec.rpx[slots[rsel]])
+            orgt.append(np.ones(rsel.sum(), bool))
+            mkf.append(np.full(rsel.sum(), kfid, np.int64))
+            mlm.append(lmids[rsel])
+            mslot.append(slots[rsel])
+            mright.append(np.ones(rsel.sum(), bool))
+        okf = np.concatenate(okf)[:O]
+        olm = np.concatenate(olm)[:O]
+        opx = np.concatenate(opx)[:O]
+        orgt = np.concatenate(orgt)[:O]
+        n = len(okf)
+        if n < 16:
+            return None
         obs_kf = np.zeros(O, np.int32)
         obs_lm = np.zeros(O, np.int32)
         obs_px = np.zeros((O, 2), np.float32)
         obs_right = np.zeros(O, bool)
         obs_valid = np.zeros(O, bool)
-        obs_meta = []  # (kfid, lmid, kp_slot, is_right) for writeback
-        n = 0
-        for kfid in kf_list:
-            rec = m.keyframes[kfid]
-            slots = np.nonzero(rec.valid & rec.is3d & (rec.lmid >= 0))[0]
-            for s in slots:
-                lmid = int(rec.lmid[s])
-                j = lm_slot.get(lmid)
-                if j is None or not lm_valid[j]:
-                    continue
-                if n >= O - 1:
-                    break
-                if not skip_anchor_obs or int(m.lm_anchor[lmid]) != kfid:
-                    obs_kf[n] = kf_slot[kfid]
-                    obs_lm[n] = j
-                    obs_px[n] = rec.unpx[s]
-                    obs_right[n] = False
-                    obs_valid[n] = True
-                    obs_meta.append((kfid, lmid, int(s), False))
-                    n += 1
-                if rec.has_right[s] and n < O - 1:
-                    # undistorted right obs: stored rpx is raw; mapper keeps
-                    # the undistorted right px in rpx already
-                    obs_kf[n] = kf_slot[kfid]
-                    obs_lm[n] = j
-                    obs_px[n] = rec.rpx[s]
-                    obs_right[n] = True
-                    obs_valid[n] = True
-                    obs_meta.append((kfid, lmid, int(s), True))
-                    n += 1
-        if n < 16:
-            return None
+        obs_kf[:n] = okf
+        obs_lm[:n] = olm
+        obs_px[:n] = opx
+        obs_right[:n] = orgt
+        obs_valid[:n] = True
+        obs_meta = dict(
+            kf=np.concatenate(mkf)[:O], lm=np.concatenate(mlm)[:O],
+            slot=np.concatenate(mslot)[:O], right=np.concatenate(mright)[:O])
 
         prob = ba_mod.BAProblem(
             R=jnp.asarray(R), t=jnp.asarray(t), pose_opt=jnp.asarray(pose_opt),
@@ -280,17 +302,21 @@ class Estimator:
 
         # ---- outlier sweep (optimizer.cpp:737-895): drop observations whose
         # final chi2 failed; landmarks left with <2 observers are culled ----
-        n_out = 0
-        for k, (kfid, lmid, s, is_right) in enumerate(meta["obs_meta"]):
-            if not inl[k]:
-                n_out += 1
-                if is_right:
-                    rec = m.keyframes.get(kfid)
-                    if rec is not None:
-                        mask = rec.lmid == lmid
-                        rec.has_right[mask] = False
-                else:
-                    m.remove_obs(lmid, kfid)
+        om = meta["obs_meta"]
+        nO = len(om["kf"])
+        bad = ~inl[:nO]
+        n_out = int(bad.sum())
+        if n_out:
+            # right-cam outliers: clear has_right, grouped per keyframe
+            rbad = bad & om["right"]
+            for kfid in np.unique(om["kf"][rbad]):
+                rec = m.keyframes.get(int(kfid))
+                if rec is not None:
+                    rec.has_right[om["slot"][rbad & (om["kf"] == kfid)]] = False
+            # left-cam outliers: remove the observation (may cull landmarks)
+            lbad = np.nonzero(bad & ~om["right"])[0]
+            for k in lbad:
+                m.remove_obs(int(om["lm"][k]), int(om["kf"][k]))
         out.ran = True
         out.n_kfs = len(kf_list)
         out.n_lms = nL
@@ -381,8 +407,8 @@ class Estimator:
                 if len(m.lm_obs.get(int(rec.lmid[s]), ())) >= 4
             )
             if n_cov >= p.fkf_filtering_ratio * len(slots):
+                # the reference sweeps ALL covisible KFs per wave
+                # (estimator.cpp:101-183), not just the first hit
                 m.remove_keyframe(kfid)
                 removed += 1
-                if removed >= 1:      # at most one per wave, like the reference
-                    break
         return removed

@@ -101,29 +101,24 @@ def track_frame(
     Xw = lm_pos[slot]
     kp_is3d = kps.valid & kps.is3d & lm_is3d[slot] & (kps.lmid >= 0)
 
-    # ---- stage 1: 3D keypoints with projected priors, 1 pyramid level ----
+    # ---- fused KLT: ONE full-pyramid pass over all keypoints with per-kp
+    # priors (3D kps seed at their projected position, the rest at their
+    # previous position). The reference splits this into a cheap 1-level
+    # prior-seeded pass for 3D kps plus a full-pyramid pass for the rest
+    # (visual_front_end.cpp:132-275) — a CPU cost optimization; on TPU both
+    # passes have identical padded shapes, so a single pass costs the same
+    # as the reference's second pass alone and gives the 3D kps the full
+    # coarse-to-fine treatment on top of their priors. ----
     proj = cam_mod.project_cam_to_image_dist(cam, lie.se3_apply(T_prior, Xw))
-    prior1 = jnp.where(kp_is3d[:, None], proj, kps.px)
-    prior1_ok = cam_mod.in_image(cam, prior1, border=nklt_win)
-    pg2 = None if prev_gpyr is None else prev_gpyr[:2]
-    cg2 = None if cur_gpyr is None else cur_gpyr[:2]
-    st1 = klt_mod.fb_klt_tracking(
-        prev_pyr[:2], cur_pyr[:2], kps.px, jnp.where(prior1_ok[:, None], prior1, kps.px),
-        kps.valid & kp_is3d, nlevels=1, win=nklt_win, max_iters=nmax_iter,
-        eps=fmax_px_precision, max_fb_dist=fmax_fbklt_dist, max_err=klt_err,
-        prev_grad_pyr=pg2, next_grad_pyr=cg2)
-
-    # ---- stage 2: the rest (plus stage-1 failures) over the full pyramid ----
-    stage2_mask = kps.valid & (~kp_is3d | ~st1.status)
-    st2 = klt_mod.fb_klt_tracking(
-        prev_pyr, cur_pyr, kps.px, kps.px,
-        stage2_mask, nlevels=nklt_pyr_lvl, win=nklt_win, max_iters=nmax_iter,
+    prior_ok = kp_is3d & cam_mod.in_image(cam, proj, border=nklt_win)
+    prior = jnp.where(prior_ok[:, None], proj, kps.px)
+    st = klt_mod.fb_klt_tracking(
+        prev_pyr, cur_pyr, kps.px, prior,
+        kps.valid, nlevels=nklt_pyr_lvl, win=nklt_win, max_iters=nmax_iter,
         eps=fmax_px_precision, max_fb_dist=fmax_fbklt_dist, max_err=klt_err,
         prev_grad_pyr=prev_gpyr, next_grad_pyr=cur_gpyr)
-
-    use1 = kp_is3d & st1.status
-    new_px = jnp.where(use1[:, None], st1.points, st2.points)
-    ok = use1 | (stage2_mask & st2.status)
+    new_px = st.points
+    ok = kps.valid & st.status
 
     prev_bv = kps.bv
     kps2 = frame_mod.update_positions(kps, cam, new_px, ok)
@@ -162,43 +157,38 @@ def track_frame(
     # ---- motion-only PnP on the 3D keypoints ----
     # Multi-start: the reprojection cost can be multi-modal (near-planar
     # point subsets create spurious minima ~cm away), so solve from both the
-    # velocity-extrapolated prior and the previous pose and keep the better
-    # solution (more inliers, then lower cost). Both solves fuse into the
-    # same jitted step — the second start is nearly free on device.
+    # velocity-extrapolated prior and the previous pose (plus, with dop3p,
+    # the P3P-RANSAC winner, visual_front_end.cpp:688-740) and keep the best
+    # solution (more inliers, then lower cost). The starts run as ONE
+    # vmapped solve — a batched LM costs the same as a single start.
     kp3d = kps2.valid & kp_is3d
     n_3d = jnp.sum(kp3d)
     cal = calib_of(cam)
-    pnp_a = pnp_mod.pnp_robust_then_l2(
-        cal, T_prior, Xw, kps2.unpx, kp3d, robust_th2=robust_th2)
-    pnp_b = pnp_mod.pnp_robust_then_l2(
-        cal, SE3(R_prev, t_prev), Xw, kps2.unpx, kp3d, robust_th2=robust_th2)
-    a_better = (pnp_a.n_inliers > pnp_b.n_inliers) | (
-        (pnp_a.n_inliers == pnp_b.n_inliers) & (pnp_a.cost <= pnp_b.cost))
-
-    def _pick(cond, x, y):
-        return pnp_mod.PnPResult(
-            T_cw=SE3(jnp.where(cond, x.T_cw.R, y.T_cw.R),
-                     jnp.where(cond, x.T_cw.t, y.T_cw.t)),
-            chi2=jnp.where(cond, x.chi2, y.chi2),
-            inliers=jnp.where(cond, x.inliers, y.inliers),
-            n_inliers=jnp.where(cond, x.n_inliers, y.n_inliers),
-            cost=jnp.where(cond, x.cost, y.cost))
-
-    pnp = _pick(a_better, pnp_a, pnp_b)
-
+    starts_R = [R_prior, R_prev]
+    starts_t = [t_prior, t_prev]
+    starts_mask = [kp3d, kp3d]
+    starts_gate = [jnp.asarray(True), jnp.asarray(True)]
     if dop3p:
-        # P3P-RANSAC in the per-frame hot path (visual_front_end.cpp:688-740,
-        # run whenever dop3p_ — the fast preset's tier): the winning minimal-
-        # solver pose seeds PnP, with P3P outliers removed from its problem.
         focal3 = 0.5 * (cam.fx + cam.fy)
         key_p = jax.random.split(key, 2)[1]
         T_p3p, p3p_inl, p3p_n, p3p_ok = mvg.p3p_ransac(
             Xw, kps2.bv, kp3d, key_p,
             err_th_norm=fransac_err / focal3, n_hyps=n_ransac_hyps)
-        pnp_c = pnp_mod.pnp_robust_then_l2(
-            cal, T_p3p, Xw, kps2.unpx, kp3d & p3p_inl, robust_th2=robust_th2)
-        use_c = p3p_ok & (pnp_c.n_inliers >= min_pnp_inliers)
-        pnp = _pick(use_c, pnp_c, pnp)
+        starts_R.append(T_p3p.R)
+        starts_t.append(T_p3p.t)
+        starts_mask.append(kp3d & p3p_inl)
+        starts_gate.append(p3p_ok)
+    res_all = jax.vmap(
+        lambda R0, t0, m: pnp_mod.pnp_robust_then_l2(
+            cal, SE3(R0, t0), Xw, kps2.unpx, m, robust_th2=robust_th2)
+    )(jnp.stack(starts_R), jnp.stack(starts_t), jnp.stack(starts_mask))
+    gate = jnp.stack(starts_gate)
+    # lexicographic pick: most inliers, then lowest cost (exact two-stage
+    # select; a single fused score loses the cost tie-break to f32 rounding)
+    inl = jnp.where(gate, res_all.n_inliers, -1)
+    is_best_inl = inl == jnp.max(inl)
+    best = jnp.argmin(jnp.where(is_best_inl, res_all.cost, jnp.inf))
+    pnp = jax.tree_util.tree_map(lambda x: x[best], res_all)
     pose_ok = pnp.n_inliers >= min_pnp_inliers
     R_out = jnp.where(pose_ok, pnp.T_cw.R, R_prior)
     t_out = jnp.where(pose_ok, pnp.T_cw.t, t_prior)

@@ -38,6 +38,13 @@ from ov2slam_tpu.slam.map import KeyframeRecord, MapStore
 from ov2slam_tpu.utils import fetch_np
 
 
+@jax.jit
+def _refresh_flags_dev(lmid, valid, lm_valid, lm_is3d):
+    slot = jnp.clip(lmid, 0, lm_valid.shape[0] - 1)
+    alive = lm_valid[slot] & (lmid >= 0)
+    return valid & alive, valid & alive & lm_is3d[slot]
+
+
 def _mat_from_quat_np(q: np.ndarray) -> np.ndarray:
     x, y, z, w = q
     return np.array([
@@ -53,6 +60,10 @@ class SlamSystem:
     def __init__(self, params: SlamParams):
         self.params = params
         p = params
+        # f32 geometry on the MXU needs full-precision passes (see
+        # SlamParams.matmul_precision); image-heavy kernels that tolerate
+        # bf16 opt back down locally.
+        jax.config.update("jax_default_matmul_precision", p.matmul_precision)
 
         self.cam_l = Camera.make(
             p.cam_left_model, p.fxl, p.fyl, p.cxl, p.cyl,
@@ -128,12 +139,23 @@ class SlamSystem:
         self.cur_kfid = -1
         self.detector_quality = p.dmaxquality
         self.median_depth = 5.0
-        # pipelined (force_realtime) mode: stats of the in-flight frame are
-        # finalized when the NEXT frame arrives, hiding the ~30 ms round trip
-        # behind the next dispatch; BA is likewise dispatched at one KF and
-        # written back at the next
-        self._pending = None
+        # pipelined (force_realtime) mode: a FIFO of in-flight frames whose
+        # stats transfers were started at dispatch (copy_to_host_async);
+        # frame i-k is finalized when frame i arrives, so the ~30 ms
+        # host<->device round trip hides behind k frames of device work.
+        # The reference gets the same effect from its free-running threads +
+        # frame dropping (ov2slam.cpp:291-298). BA is likewise dispatched at
+        # one KF and written back at the next.
+        from collections import deque
+        self._inflight = deque()
         self._pending_ba = None
+        # staged keyframe commit (deferred mode): the kf_step fetch bundle
+        # commits KF_COMMIT_LAG frames after dispatch, the local-map match one
+        # frame later, BA writeback after BA_LAG frames — each stage's device
+        # work + transfers overlap the tracking frames in between.
+        self._pending_kf = None
+        self._pending_lmm = None
+        self._ba_age = 0
         self._lost_frames = 0
         self._last_imr = None
 
@@ -153,6 +175,24 @@ class SlamSystem:
         self.fe_state = self.fe_state._replace(
             R_cw=jnp.asarray(self.T_cw[:3, :3]),
             t_cw=jnp.asarray(self.T_cw[:3, 3]))
+
+    def _apply_pose_correction(self, T_old: np.ndarray, T_new: np.ndarray):
+        """Apply a keyframe pose correction (BA / loop closure) to the live
+        pose as a RELATIVE update — the live frame may have tracked past the
+        corrected keyframe in pipelined mode: T_cw' = T_cw @ T_old^-1 @ T_new.
+        The device-side pose chain gets the same right-multiplied correction
+        so future dispatches carry it without rewinding tracking."""
+        dT = (np.linalg.inv(T_old.astype(np.float64))
+              @ T_new.astype(np.float64))
+        if np.abs(dT - np.eye(4)).max() < 1e-9:
+            return
+        self.T_cw = (self.T_cw.astype(np.float64) @ dT).astype(np.float32)
+        if self.fe_state is not None:
+            dR = jnp.asarray(dT[:3, :3].astype(np.float32))
+            dt = jnp.asarray(dT[:3, 3].astype(np.float32))
+            self.fe_state = self.fe_state._replace(
+                R_cw=self.fe_state.R_cw @ dR,
+                t_cw=self.fe_state.R_cw @ dt + self.fe_state.t_cw)
 
     # ------------------------------------------------------------------
     def process_stereo(self, iml: np.ndarray, imr: np.ndarray, time: float
@@ -179,12 +219,6 @@ class SlamSystem:
                 self.logger.add(time, self.T_wc(), True, self.cur_kfid, T_wkf)
                 return self.T_wc()
 
-            # finalize the previous in-flight frame first (pipelined mode):
-            # its stats transfer completed while this frame was being read
-            if self._pending is not None:
-                self._finalize_frame(*self._pending)
-                self._pending = None
-
             lm_pos, lm_is3d = self.map.device_landmarks()
             self.fe_state, stats = fe_mod.frame_step(
                 self.fe_state, img_u8, lm_pos, lm_is3d, self.cam_l,
@@ -202,15 +236,27 @@ class SlamSystem:
                 pass
 
         if p.force_realtime and self.initialized:
-            # defer the blocking read to the next frame (or flush())
-            self._pending = (stats, iml, imr, time)
+            # enqueue; finalize frame i-k so its stats transfer (started at
+            # dispatch) has had k frames of wall time to complete
+            self._inflight.append((stats, iml, imr, time))
+            while len(self._inflight) > max(1, p.pipeline_depth):
+                self._finalize_frame(*self._inflight.popleft())
+            # advance at most one staged KF-commit step per frame
+            self._advance_kf_pipeline()
             return self.T_wc()
 
         self._finalize_frame(stats, iml, imr, time)
         return self.T_wc()
 
     # ------------------------------------------------------------------
-    def _finalize_frame(self, stats, iml, imr, time):
+    def _log_pose(self, time, is_kf: bool):
+        T_wkf = None
+        if self.cur_kfid in self.map.keyframes:
+            T_wkf = np.linalg.inv(self.map.keyframes[self.cur_kfid].T_cw)
+        self.logger.add(time, self.T_wc(), is_kf, self.cur_kfid, T_wkf)
+
+    def _finalize_frame(self, stats, iml, imr, time, allow_kf=True,
+                        force_kf=False):
         """Blocking half of frame processing: read the stats vector, update
         the pose/log, decide + run keyframe processing."""
         p = self.params
@@ -240,21 +286,31 @@ class SlamSystem:
                     pose_ok = True
                     self._lost_frames = 0
 
-        need_kf = fe_mod.check_new_kf(
+        need_kf = allow_kf and fe_mod.check_new_kf(
             p, n_tracked, n_3d, parallax,
             self.frames_since_kf, self.n3d_at_kf, pose_ok,
             time_since_kf=time - self.kf_time)
 
-        if need_kf:
+        if need_kf and self._inflight:
+            # the device state has advanced past this frame; log this frame
+            # normally, drain the newer in-flight frames, and create the
+            # keyframe on the NEWEST frame (the reference under realtime
+            # load likewise tracks only the newest frame and drops stale
+            # ones, ov2slam.cpp:291-298)
+            self.frames_since_kf += 1
+            self._log_pose(time, False)
+            while len(self._inflight) > 1:
+                self._finalize_frame(*self._inflight.popleft(), allow_kf=False)
+            self._finalize_frame(*self._inflight.popleft(), allow_kf=False,
+                                 force_kf=True)
+            return
+
+        if need_kf or force_kf:
             with self.prof.scope("1.KF_Processing"):
                 self._create_keyframe(iml, imr, time)
         else:
             self.frames_since_kf += 1
-
-        T_wkf = None
-        if self.cur_kfid in self.map.keyframes:
-            T_wkf = np.linalg.inv(self.map.keyframes[self.cur_kfid].T_cw)
-        self.logger.add(time, self.T_wc(), need_kf, self.cur_kfid, T_wkf)
+        self._log_pose(time, need_kf or force_kf)
 
     def process_stereo_chunk(self, frames):
         """Throughput mode: track a list of (iml, imr, t) frames in one
@@ -317,7 +373,7 @@ class SlamSystem:
             is_last = j == len(frames) - 1
             if is_last and need_kf:
                 with self.prof.scope("1.KF_Processing"):
-                    self._create_keyframe(iml, imr_last, t)
+                    self._create_keyframe(iml, imr_last, t, defer=False)
             else:
                 self.frames_since_kf += 1
             T_wkf = None
@@ -328,21 +384,27 @@ class SlamSystem:
         return self.T_wc()
 
     def flush(self):
-        """Finalize any in-flight frame + pending BA (pipelined mode)."""
-        if self._pending is not None:
-            self._finalize_frame(*self._pending)
-            self._pending = None
+        """Finalize all in-flight frames, staged KF commits and pending BA
+        (pipelined mode)."""
+        while self._inflight:
+            self._finalize_frame(*self._inflight.popleft())
+        self._drain_kf_pipeline()
         self._finalize_pending_ba()
 
     def _finalize_pending_ba(self):
-        if self._pending_ba is not None:
-            self.estimator.finalize_local_ba(self.map, self._pending_ba)
-            self._pending_ba = None
-            kfid = self.cur_kfid
-            if kfid in self.map.keyframes:
-                self.T_cw = self.map.keyframes[kfid].T_cw.copy()
-            self._refresh_kp_3d_flags()
-        self._pending_ba = None
+        if self._pending_ba is None:
+            return
+        pend, self._pending_ba = self._pending_ba, None
+        # apply the BA correction of its newest KF to the live pose as a
+        # RELATIVE update (the live frame has tracked on since the solve):
+        # T_cw_live' = T_cw_live @ T_cw_kf^-1 @ T_cw_kf'
+        kf_list = pend[1]
+        rec = self.map.keyframes.get(kf_list[0]) if kf_list else None
+        T_old = rec.T_cw.copy() if rec is not None else None
+        self.estimator.finalize_local_ba(self.map, pend)
+        if rec is not None:
+            self._apply_pose_correction(T_old, rec.T_cw)
+        self._refresh_kp_3d_flags()
 
     def _rectify(self, img: np.ndarray, cam_idx: int) -> np.ndarray:
         from ov2slam_tpu.ops import image as im_mod
@@ -386,8 +448,10 @@ class SlamSystem:
         # (with the lost frame's real timestamp so KF cadence + the KF
         # trajectory log stay correct)
         self._set_kps(frame_mod.FrameKps.empty(self.kp_cap))
-        self._create_keyframe(None, self._last_imr, time, run_ba=False,
-                              stereo=self.params.stereo and self._last_imr is not None)
+        self._create_keyframe(
+            None, self._last_imr, time, run_ba=False,
+            stereo=self.params.stereo and self._last_imr is not None,
+            defer=False)
         return True
 
     # ------------------------------------------------------------------
@@ -477,7 +541,8 @@ class SlamSystem:
                 time_since_kf=time - self.kf_time)
             if need_kf:
                 with self.prof.scope("1.KF_Processing"):
-                    self._create_keyframe(im, None, time, stereo=False)
+                    self._create_keyframe(im, None, time, stereo=False,
+                                          defer=False)
 
         if not need_kf:
             self.frames_since_kf += 1
@@ -549,14 +614,30 @@ class SlamSystem:
             self.initialized = True
 
     # ------------------------------------------------------------------
-    def _create_keyframe(self, iml, imr, time, run_ba=True, stereo=True):
+    # Keyframe creation: device dispatch now, host commit staged over the
+    # following frames (deferred mode) or inline (offline mode). Mirrors the
+    # reference's thread split: the front end creates the KF synchronously,
+    # while Mapper/Estimator/LoopCloser work concurrently with tracking
+    # (mapper.cpp:44-170, estimator.cpp:32-98).
+    # ------------------------------------------------------------------
+
+    KF_COMMIT_LAG = 2     # frames between kf_step dispatch and registry commit
+    BA_LAG = 3            # frames between BA dispatch and writeback
+
+    def _create_keyframe(self, iml, imr, time, run_ba=True, stereo=True,
+                         defer=None):
         p = self.params
+        if defer is None:
+            defer = bool(p.force_realtime and self.initialized)
+        # the previous keyframe must be fully committed before allocating
+        # candidates / assembling anchors for this one
+        self._drain_kf_pipeline()
         kfid = self.map.next_kf_id
         prev_kfid = self.cur_kfid
         self.cur_kfid = kfid
         cur_pyr = self._cur_pyr()
 
-        # ---- the whole device side in ONE dispatch + ONE overlapped fetch
+        # ---- the whole device side in ONE dispatch
         # (detect -> insert -> describe -> stereo match -> triangulate) ----
         with self.prof.scope("2.KF_DeviceStep"):
             nh = self.cam_l.height // p.nmaxdist
@@ -592,67 +673,137 @@ class SlamSystem:
                 klt_err=p.nklt_err, epi_th_px=p.fepi_th, stereo=stereo)
             self._set_kps(res.kps)
             kp = res.kps
-            (k_px, k_unpx, k_bv, k_lmid, k_valid, k_is3d, k_rpx, k_hr,
-             desc_np, desc_ok_np, tri_ok, Xw_np, depth_np, med_depth,
-             xdesc_np, xok_np, tt_ok, tt_Xw, tt_da) = fetch_np(
+            # snapshot the kps arrays (device copies): the live table's
+            # buffers are donated to the next frame_step, which would
+            # invalidate a deferred fetch of the originals
+            fetch = tuple(jnp.copy(a) for a in (
                 kp.px, kp.unpx, kp.bv, kp.lmid, kp.valid, kp.is3d, kp.rpx,
-                kp.has_right, res.desc, res.desc_ok, res.tri_ok, res.tri_Xw,
+                kp.has_right)) + (
+                res.desc, res.desc_ok, res.tri_ok, res.tri_Xw,
                 res.tri_depth, res.med_depth, res.extra_desc, res.extra_ok,
                 res.tt_ok, res.tt_Xw, res.tt_depth_anchor)
+            for a in fetch:
+                try:
+                    a.copy_to_host_async()
+                except AttributeError:
+                    pass
 
-        # ---- host registry updates from the fetched bundle ----
-        with self.prof.scope("2.KF_Registry"):
-            # candidate ids that actually landed in the table
-            used = np.isin(cand_ids, k_lmid[k_valid])
-            self.map.free_landmarks(cand_ids[~used])
-            n_new = int(used.sum())
-            if not p.use_fast:
-                occupied = int(k_valid.sum()) - n_new
-                self.detector_quality = det_mod.adaptive_quality_update(
-                    self.detector_quality, n_new,
-                    max(n_cells - occupied, 1))
+        # device-state updates tracking needs immediately: parallax reference
+        # re-anchors to this KF, pose syncs
+        self._set_kps(self.kps._replace(kf_bv=jnp.copy(self.kps.bv)))
+        self.fe_state = self.fe_state._replace(
+            R_kf=jnp.asarray(self.T_cw[:3, :3]))
+        self._sync_pose_to_device()
+        self.frames_since_kf = 0
+        self.kf_time = time
 
-            if stereo:
-                # newly triangulated = stereo success on a not-yet-3d landmark
-                sl = np.clip(k_lmid, 0, self.map.cap - 1)
-                was3d = self.map.lm_is3d[sl] & (k_lmid >= 0)
-                newly = tri_ok & k_valid & (k_lmid >= 0) & ~was3d
-                if newly.any():
-                    ids = k_lmid[newly]
-                    bearings = k_bv[newly] / np.maximum(k_bv[newly][:, 2:], 1e-9)
-                    self.map.set_positions(
-                        ids, Xw_np[newly], anchor_kf=kfid, bearings=bearings,
-                        lams=1.0 / np.maximum(depth_np[newly], 1e-6))
-                self.median_depth = float(med_depth)
+        pending = dict(
+            kfid=kfid, time=time, T_cw=self.T_cw.copy(), fetch=fetch,
+            cand_ids=cand_ids, anc=anc, n_cells=n_cells,
+            desc_dev=res.desc, desc_ok_dev=res.desc_ok,
+            stereo=stereo, run_ba=run_ba, defer=defer, age=0)
+        if defer:
+            self._pending_kf = pending
+        else:
+            self._commit_kf(pending)
+            self._drain_kf_pipeline()
 
-            # temporal-triangulation commits (anchor = first observing KF,
-            # host-known from the pre-dispatch assembly)
-            anc_first = anc[5]
-            tnew = tt_ok & k_valid & (k_lmid >= 0) & (anc_first >= 0)
-            for s_i in np.nonzero(tnew)[0]:
-                lmid = int(k_lmid[s_i])
-                if self.map.lm_is3d[lmid] and stereo:
-                    continue   # stereo already triangulated it this KF
-                first_kf = int(anc_first[s_i])
-                arec = self.map.keyframes.get(first_kf)
+    # ------------------------------------------------------------------
+    def _advance_kf_pipeline(self):
+        """Advance at most one deferred stage per frame (each stage's device
+        work + transfers then overlap the next tracking frames)."""
+        if self._pending_kf is not None:
+            self._pending_kf["age"] += 1
+            if self._pending_kf["age"] >= self.KF_COMMIT_LAG:
+                pend, self._pending_kf = self._pending_kf, None
+                with self.prof.scope("2.KF_Registry"):
+                    self._commit_kf(pend)
+            return
+        if self._pending_lmm is not None:
+            self._pending_lmm["age"] += 1
+            if self._pending_lmm["age"] >= 1:
+                pend, self._pending_lmm = self._pending_lmm, None
+                with self.prof.scope("2.KF_MatchLocalMap"):
+                    self._commit_lmm(pend)
+            return
+        if self._pending_ba is not None:
+            self._ba_age += 1
+            if self._ba_age >= self.BA_LAG:
+                with self.prof.scope("1.BA_localBA"):
+                    self._finalize_pending_ba()
+
+    def _drain_kf_pipeline(self):
+        if self._pending_kf is not None:
+            pend, self._pending_kf = self._pending_kf, None
+            self._commit_kf(pend)
+        if self._pending_lmm is not None:
+            pend, self._pending_lmm = self._pending_lmm, None
+            self._commit_lmm(pend)
+
+    # ------------------------------------------------------------------
+    def _commit_kf(self, pending):
+        """Host-side keyframe commit: registry updates from the fetched
+        bundle, the keyframe record, and the local-map match dispatch."""
+        p = self.params
+        kfid = pending["kfid"]
+        stereo = pending["stereo"]
+        cand_ids = pending["cand_ids"]
+        anc = pending["anc"]
+        (k_px, k_unpx, k_bv, k_lmid, k_valid, k_is3d, k_rpx, k_hr,
+         desc_np, desc_ok_np, tri_ok, Xw_np, depth_np, med_depth,
+         xdesc_np, xok_np, tt_ok, tt_Xw, tt_da) = fetch_np(*pending["fetch"])
+
+        # candidate ids that actually landed in the table
+        used = np.isin(cand_ids, k_lmid[k_valid])
+        self.map.free_landmarks(cand_ids[~used])
+        n_new = int(used.sum())
+        if not p.use_fast:
+            occupied = int(k_valid.sum()) - n_new
+            self.detector_quality = det_mod.adaptive_quality_update(
+                self.detector_quality, n_new,
+                max(pending["n_cells"] - occupied, 1))
+
+        if stereo:
+            # newly triangulated = stereo success on a not-yet-3d landmark
+            sl = np.clip(k_lmid, 0, self.map.cap - 1)
+            was3d = self.map.lm_is3d[sl] & (k_lmid >= 0)
+            newly = tri_ok & k_valid & (k_lmid >= 0) & ~was3d
+            if newly.any():
+                ids = k_lmid[newly]
+                bearings = k_bv[newly] / np.maximum(k_bv[newly][:, 2:], 1e-9)
+                self.map.set_positions(
+                    ids, Xw_np[newly], anchor_kf=kfid, bearings=bearings,
+                    lams=1.0 / np.maximum(depth_np[newly], 1e-6))
+            self.median_depth = float(med_depth)
+
+        # temporal-triangulation commits, vectorized per anchor keyframe
+        # (anchor = first observing KF, host-known from the pre-dispatch
+        # assembly; anc[2] holds the normalized anchor bearings)
+        anc_bv, anc_first = anc[2], anc[5]
+        sl = np.clip(k_lmid, 0, self.map.cap - 1)
+        tnew = tt_ok & k_valid & (k_lmid >= 0) & (anc_first >= 0)
+        if stereo:
+            tnew &= ~self.map.lm_is3d[sl]   # stereo already did it this KF
+        if tnew.any():
+            slots = np.nonzero(tnew)[0]
+            ids = k_lmid[slots]
+            self.map.set_positions(
+                ids, tt_Xw[slots], anchor_kf=anc_first[slots],
+                bearings=anc_bv[slots],
+                lams=1.0 / np.maximum(tt_da[slots], 1e-6))
+            for akf in np.unique(anc_first[slots]):
+                arec = self.map.keyframes.get(int(akf))
                 if arec is None:
                     continue
-                slot = arec.kp_slot_of(lmid)
-                if slot < 0:
-                    continue
-                b = arec.bv[slot]
-                self.map.set_positions(
-                    np.asarray([lmid]), tt_Xw[s_i][None], anchor_kf=first_kf,
-                    bearings=(b / max(b[2], 1e-9))[None],
-                    lams=np.asarray([1.0 / max(float(tt_da[s_i]), 1e-6)]))
-                arec.is3d[slot] = True
+                asel = anc_first[slots] == akf
+                aslots = arec.kp_slots_of(ids[asel])
+                arec.is3d[aslots[aslots >= 0]] = True
 
-        # ---- record keyframe (arrays already fetched; temporal
-        # triangulation only flips is3d flags, which we mirror on host) ----
+        # ---- record keyframe ----
         sl = np.clip(k_lmid, 0, self.map.cap - 1)
         k_is3d = k_valid & (k_lmid >= 0) & self.map.lm_is3d[sl]
         rec = KeyframeRecord(
-            kfid=kfid, time=time, T_cw=self.T_cw.copy(),
+            kfid=kfid, time=pending["time"], T_cw=pending["T_cw"].copy(),
             px=k_px, unpx=k_unpx, bv=k_bv, lmid=k_lmid,
             valid=k_valid, is3d=k_is3d, rpx=k_rpx, has_right=k_hr,
             desc=desc_np, desc_ok=desc_ok_np,
@@ -662,27 +813,124 @@ class SlamSystem:
         if len(dsl):
             self.map.add_descriptors(rec.lmid[dsl], desc_np[dsl])
 
+        self.n_kps_at_kf = int(k_valid.sum())
+        self.n3d_at_kf = int((k_valid & k_is3d).sum())
+
         # ---- local-map descriptor matching (Mapper::matchingToLocalMap,
-        # mapper.cpp:576-774): recover lost map points by projecting the
-        # covisibility-local map into this KF and merging matches ----
+        # mapper.cpp:576-774): dispatch now, merge bookkeeping next stage ----
+        lmm = None
         if p.bdo_track_localmap and len(self.map.keyframes) >= 3:
-            with self.prof.scope("2.KF_MatchLocalMap"):
-                self._match_local_map(kfid, rec, res.desc, res.desc_ok)
+            lmm = self._dispatch_local_map_match(
+                kfid, rec, pending["desc_dev"], pending["desc_ok_dev"],
+                pending["T_cw"])
+        self._pending_lmm = dict(
+            kfid=kfid, rec=rec, lmm=lmm, run_ba=pending["run_ba"],
+            defer=pending["defer"], age=0)
+        if not pending["defer"]:
+            pend, self._pending_lmm = self._pending_lmm, None
+            self._commit_lmm(pend)
+
+    # ------------------------------------------------------------------
+    def _dispatch_local_map_match(self, kfid: int, rec, desc_dev, desc_ok_dev,
+                                  T_cw, max_cands: int = 2048):
+        m = self.map
+        cur = rec.lmid[rec.valid & (rec.lmid >= 0)]
+        groups = []
+        for ckf in m.covisible_kfs(kfid)[:10]:
+            crec = m.keyframes.get(ckf)
+            if crec is not None:
+                groups.append(crec.lmid[crec.valid & crec.is3d
+                                        & (crec.lmid >= 0)])
+        if not groups:
+            return None
+        ids = np.unique(np.concatenate(groups))
+        good = (m.lm_valid[ids] & m.lm_is3d[ids] & m.lm_desc_ok[ids]
+                & ~np.isin(ids, cur))
+        ids = ids[good][:max_cands]
+        if len(ids) < 1:
+            return None
+        M = max_cands
+        idsp = np.full(M, -1, np.int64)
+        idsp[:len(ids)] = ids
+        pos = np.zeros((M, 3), np.float32)
+        cdesc = np.zeros((M, 8), np.uint32)
+        cvalid = np.zeros(M, bool)
+        pos[:len(ids)] = m.lm_pos[ids]
+        cdesc[:len(ids)] = m.lm_desc[ids]
+        cvalid[:len(ids)] = True
+
+        # merge targets: keypoints whose landmark is only observed here
+        obs_n = np.asarray([len(m.lm_obs.get(int(l), ()))
+                            for l in rec.lmid.tolist()])
+        matchable = rec.valid & (rec.lmid >= 0) & (obs_n <= 1)
+
+        # match against the KF's snapshot positions (the live table has
+        # tracked on since dispatch in deferred mode)
+        snap = self.kps._replace(
+            px=jnp.asarray(rec.px), valid=jnp.asarray(rec.valid))
+        res = mapper_mod.match_to_local_map(
+            snap, desc_dev, desc_ok_dev, jnp.asarray(matchable),
+            jnp.asarray(pos), jnp.asarray(cdesc), jnp.asarray(cvalid),
+            self.cam_l,
+            jnp.asarray(T_cw[:3, :3]), jnp.asarray(T_cw[:3, 3]),
+            max_px_dist=self.params.fmax_proj_pxdist,
+            max_desc_dist=self.params.fmax_desc_dist)
+        for a in (res.ok, res.kp_slot):
+            try:
+                a.copy_to_host_async()
+            except AttributeError:
+                pass
+        return (res, idsp)
+
+    # ------------------------------------------------------------------
+    def _commit_lmm(self, pending):
+        """Local-map merge bookkeeping, then BA + map filtering + loop
+        closing for the keyframe."""
+        p = self.params
+        kfid = pending["kfid"]
+        rec = pending["rec"]
+        if pending["lmm"] is not None:
+            res, ids = pending["lmm"]
+            ok_np, slot_np = fetch_np(res.ok, res.kp_slot)
+            n_merged = 0
+            taken = set()
+            m = self.map
+            for ci in np.nonzero(ok_np)[0]:
+                s = int(slot_np[ci])
+                if s < 0 or s in taken:
+                    continue
+                dst = int(ids[ci])
+                src = int(rec.lmid[s])
+                if dst < 0 or src < 0 or dst == src or not m.lm_valid[dst]:
+                    continue
+                taken.add(s)
+                m.merge_landmarks(dst, src)
+                n_merged += 1
+            if n_merged:
+                # sync the live keypoint table with the re-pointed slots
+                m.update_covisibility(kfid)
+                sl = np.clip(rec.lmid, 0, m.cap - 1)
+                self._set_kps(self.kps._replace(
+                    lmid=jnp.asarray(rec.lmid),
+                    valid=self.kps.valid & jnp.asarray(rec.valid),
+                    is3d=jnp.asarray(rec.valid & m.lm_is3d[sl]
+                                     & (rec.lmid >= 0))))
 
         # ---- local BA + filtering (Estimator thread, estimator.cpp) ----
-        if run_ba and p.slam_mode and len(self.map.keyframes) >= 2:
+        if pending["run_ba"] and p.slam_mode and len(self.map.keyframes) >= 2:
             with self.prof.scope("1.BA_localBA"):
-                if p.async_ba:
-                    # deferred BA: finalize the previous KF's solve (its
-                    # transfers completed during tracking), dispatch this
-                    # KF's solve, write it back at the next KF
+                if p.async_ba and pending["defer"]:
+                    # deferred BA: finalize the previous KF's solve, dispatch
+                    # this KF's, write back BA_LAG frames later
                     self._finalize_pending_ba()
                     self._pending_ba = self.estimator.begin_local_ba(
                         self.map, kfid)
+                    self._ba_age = 0
                 else:
+                    T_old = rec.T_cw.copy()
                     self.estimator.local_ba(self.map, kfid)
                     # propagate optimized pose of this KF to the live frame
-                    self.T_cw = self.map.keyframes[kfid].T_cw.copy()
+                    self._apply_pose_correction(T_old, rec.T_cw)
                     self._refresh_kp_3d_flags()
             with self.prof.scope("1.BA_MapFiltering"):
                 self.estimator.map_filtering(self.map, kfid)
@@ -690,103 +938,28 @@ class SlamSystem:
         # ---- loop closing (LoopCloser thread, loop_closer.cpp) ----
         # every KF feeds the place-recognition index, including the first
         if self.loopcloser is not None:
+            T_old = rec.T_cw.copy()
             with self.prof.scope("2.LC_Process"):
                 ev = self.loopcloser.process_kf(self.map, kfid)
             if ev is not None:
                 self.last_loop_event = ev
                 # the query KF pose may have been corrected
-                self.T_cw = self.map.keyframes[kfid].T_cw.copy()
+                self._apply_pose_correction(T_old, rec.T_cw)
                 self._refresh_kp_3d_flags()
 
-        # re-anchor the parallax reference: all kps' KF bearings = current
-        self._set_kps(self.kps._replace(kf_bv=jnp.copy(self.kps.bv)))
-        self.fe_state = self.fe_state._replace(
-            R_kf=jnp.asarray(self.T_cw[:3, :3]))
-        self._sync_pose_to_device()
-        self.frames_since_kf = 0
-        kp_valid_f, kp_is3d_f = fetch_np(self.kps.valid, self.kps.is3d)
-        self.n_kps_at_kf = int(kp_valid_f.sum())
-        self.n3d_at_kf = int((kp_valid_f & kp_is3d_f).sum())
-        self.kf_time = time
-
-    # ------------------------------------------------------------------
-    def _match_local_map(self, kfid: int, rec, desc_dev, desc_ok_dev,
-                         max_cands: int = 2048):
-        m = self.map
-        cur_lmids = set(int(x) for x in rec.lmid[rec.valid & (rec.lmid >= 0)])
-        cand_ids = []
-        seen = set()
-        for ckf in m.covisible_kfs(kfid)[:10]:
-            crec = m.keyframes.get(ckf)
-            if crec is None:
-                continue
-            for s in np.nonzero(crec.valid & crec.is3d & (crec.lmid >= 0))[0]:
-                lmid = int(crec.lmid[s])
-                if (lmid in seen or lmid in cur_lmids
-                        or not m.lm_valid[lmid] or not m.lm_is3d[lmid]
-                        or not m.lm_desc_ok[lmid]):
-                    continue
-                seen.add(lmid)
-                cand_ids.append(lmid)
-                if len(cand_ids) >= max_cands:
-                    break
-            if len(cand_ids) >= max_cands:
-                break
-        if len(cand_ids) < 1:
-            return
-        M = max_cands
-        ids = np.full(M, -1, np.int64)
-        ids[:len(cand_ids)] = cand_ids
-        pos = np.zeros((M, 3), np.float32)
-        cdesc = np.zeros((M, 8), np.uint32)
-        cvalid = np.zeros(M, bool)
-        pos[:len(cand_ids)] = m.lm_pos[cand_ids]
-        cdesc[:len(cand_ids)] = m.lm_desc[cand_ids]
-        cvalid[:len(cand_ids)] = True
-
-        # merge targets: keypoints whose landmark is only observed here
-        matchable = np.zeros(self.kp_cap, bool)
-        for s in np.nonzero(rec.valid & (rec.lmid >= 0))[0]:
-            lmid = int(rec.lmid[s])
-            if len(m.lm_obs.get(lmid, ())) <= 1:
-                matchable[s] = True
-
-        res = mapper_mod.match_to_local_map(
-            self.kps, desc_dev, desc_ok_dev, jnp.asarray(matchable),
-            jnp.asarray(pos), jnp.asarray(cdesc), jnp.asarray(cvalid),
-            self.cam_l,
-            jnp.asarray(self.T_cw[:3, :3]), jnp.asarray(self.T_cw[:3, 3]),
-            max_px_dist=self.params.fmax_proj_pxdist,
-            max_desc_dist=self.params.fmax_desc_dist)
-        ok_np, slot_np = fetch_np(res.ok, res.kp_slot)
-        n_merged = 0
-        taken = set()
-        for ci in np.nonzero(ok_np)[0]:
-            s = int(slot_np[ci])
-            if s < 0 or s in taken:
-                continue
-            dst = int(ids[ci])
-            src = int(rec.lmid[s])
-            if dst < 0 or src < 0 or dst == src or not m.lm_valid[dst]:
-                continue
-            taken.add(s)
-            m.merge_landmarks(dst, src)
-            n_merged += 1
-        if n_merged:
-            # sync the live keypoint table with the re-pointed slots
-            m.update_covisibility(kfid)
-            sl = np.clip(rec.lmid, 0, m.cap - 1)
-            self._set_kps(self.kps._replace(
-                lmid=jnp.asarray(rec.lmid),
-                valid=jnp.asarray(rec.valid & (np.asarray(self.kps.valid))),
-                is3d=jnp.asarray(rec.valid & m.lm_is3d[sl] & (rec.lmid >= 0))))
+        # refresh the counters the KF heuristics read
+        sl = np.clip(rec.lmid, 0, self.map.cap - 1)
+        is3d = rec.valid & (rec.lmid >= 0) & self.map.lm_is3d[sl]
+        self.n_kps_at_kf = int(rec.valid.sum())
+        self.n3d_at_kf = int(is3d.sum())
 
     # ------------------------------------------------------------------
     def _assemble_anchor_data(self, prev_kfid: int):
         """Anchor poses/bearings for temporal triangulation, assembled from
         the PREVIOUS keyframe's record (no device fetch needed: keypoint
         slots are stable between keyframes; a device-side lmid guard rejects
-        slots that were re-used). Returns (R, t, bv, lmid, ok, first_kf)."""
+        slots that were re-used). Vectorized per anchor keyframe.
+        Returns (R, t, bv, lmid, ok, first_kf)."""
         K = self.kp_cap
         anc_R = np.tile(np.eye(3, dtype=np.float32), (K, 1, 1))
         anc_t = np.zeros((K, 3), np.float32)
@@ -797,38 +970,40 @@ class SlamSystem:
         anc_first = np.full(K, -1, np.int32)
         prev = self.map.keyframes.get(prev_kfid)
         if prev is not None:
-            for s_i in np.nonzero(prev.valid & ~prev.is3d & (prev.lmid >= 0))[0]:
-                lmid = int(prev.lmid[s_i])
-                obs = self.map.lm_obs.get(lmid)
-                if not obs:
-                    continue
-                first_kf = min(obs)
-                arec = self.map.keyframes.get(first_kf)
-                if arec is None:
-                    continue
-                slot = arec.kp_slot_of(lmid)
-                if slot < 0:
-                    continue
-                anc_R[s_i] = arec.T_cw[:3, :3]
-                anc_t[s_i] = arec.T_cw[:3, 3]
-                b = arec.bv[slot]
-                anc_bv[s_i] = b / max(b[2], 1e-9)
-                anc_lmid[s_i] = lmid
-                anc_ok[s_i] = True
-                anc_first[s_i] = first_kf
+            slots = np.nonzero(prev.valid & ~prev.is3d & (prev.lmid >= 0))[0]
+            if len(slots):
+                lmids = prev.lmid[slots]
+                first = self.map.first_obs_of(lmids)
+                for akf in np.unique(first[first >= 0]):
+                    arec = self.map.keyframes.get(int(akf))
+                    if arec is None:
+                        continue
+                    sel = first == akf
+                    aslots = arec.kp_slots_of(lmids[sel])
+                    ok2 = aslots >= 0
+                    s_i = slots[sel][ok2]
+                    if len(s_i) == 0:
+                        continue
+                    b = arec.bv[aslots[ok2]]
+                    anc_R[s_i] = arec.T_cw[:3, :3]
+                    anc_t[s_i] = arec.T_cw[:3, 3]
+                    anc_bv[s_i] = b / np.maximum(b[:, 2:3], 1e-9)
+                    anc_lmid[s_i] = lmids[sel][ok2]
+                    anc_ok[s_i] = True
+                    anc_first[s_i] = akf
         return anc_R, anc_t, anc_bv, anc_lmid, anc_ok, anc_first
 
     # ------------------------------------------------------------------
     def _refresh_kp_3d_flags(self):
         """After BA outlier removal some landmarks may be gone; sync the live
-        frame's flags."""
-        lmid = np.asarray(self.kps.lmid)
-        ok = np.asarray(self.kps.valid)
-        sl = np.clip(lmid, 0, self.map.cap - 1)
-        alive = self.map.lm_valid[sl] & (lmid >= 0)
-        self._set_kps(self.kps._replace(
-            valid=jnp.asarray(ok & alive),
-            is3d=jnp.asarray(ok & alive & self.map.lm_is3d[sl])))
+        frame's flags. One jitted device call against the cached landmark
+        mirrors — no host<->device round trip."""
+        _, lm_is3d = self.map.device_landmarks()
+        lm_valid = self.map.device_lm_valid()
+        kps = self.kps
+        valid, is3d = _refresh_flags_dev(
+            kps.lmid, kps.valid, lm_valid, lm_is3d)
+        self._set_kps(kps._replace(valid=valid, is3d=is3d))
 
     # ------------------------------------------------------------------
     # ------------------------------------------------------------------

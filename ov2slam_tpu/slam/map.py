@@ -47,6 +47,18 @@ class KeyframeRecord:
         hits = np.nonzero((self.lmid == lmid) & self.valid)[0]
         return int(hits[0]) if len(hits) else -1
 
+    def kp_slots_of(self, lmids: np.ndarray) -> np.ndarray:
+        """Vectorized slot lookup: (M,) lmids -> (M,) slots (-1 = absent)."""
+        vs = np.nonzero(self.valid & (self.lmid >= 0))[0]
+        if len(vs) == 0:
+            return np.full(len(lmids), -1, np.int64)
+        keys = self.lmid[vs]
+        order = np.argsort(keys, kind="stable")
+        sk = keys[order]
+        pos = np.minimum(np.searchsorted(sk, lmids), len(sk) - 1)
+        ok = sk[pos] == lmids
+        return np.where(ok, vs[order[pos]], -1)
+
 
 class MapStore:
     """Host map with device landmark arenas."""
@@ -78,6 +90,7 @@ class MapStore:
         self._device_dirty = True
         self._dev_pos = None
         self._dev_is3d = None
+        self._dev_valid = None
 
     # ------------------------------------------------------------------
     # landmarks
@@ -159,10 +172,11 @@ class MapStore:
         self._device_dirty = True
 
     def set_positions(self, lmids: np.ndarray, pos: np.ndarray,
-                      anchor_kf: Optional[int] = None,
+                      anchor_kf=None,
                       bearings: Optional[np.ndarray] = None,
                       lams: Optional[np.ndarray] = None):
-        """Mark landmarks as triangulated (is3d) with world positions."""
+        """Mark landmarks as triangulated (is3d) with world positions.
+        anchor_kf may be a scalar or a per-landmark array."""
         self.lm_pos[lmids] = pos
         self.lm_is3d[lmids] = True
         if anchor_kf is not None:
@@ -172,6 +186,12 @@ class MapStore:
         if lams is not None:
             self.lm_lam[lmids] = lams
         self._device_dirty = True
+
+    def first_obs_of(self, lmids: np.ndarray) -> np.ndarray:
+        """(M,) first (oldest) observing keyframe per landmark, -1 if none."""
+        return np.asarray(
+            [min(self.lm_obs[i]) if self.lm_obs.get(int(i)) else -1
+             for i in np.asarray(lmids).tolist()], np.int32)
 
     def update_positions_from_ba(self, lmids, pos, lams):
         self.lm_pos[lmids] = pos
@@ -204,8 +224,13 @@ class MapStore:
         if self._device_dirty or self._dev_pos is None:
             self._dev_pos = jnp.asarray(self.lm_pos)
             self._dev_is3d = jnp.asarray(self.lm_is3d & self.lm_valid)
+            self._dev_valid = jnp.asarray(self.lm_valid)
             self._device_dirty = False
         return self._dev_pos, self._dev_is3d
+
+    def device_lm_valid(self):
+        self.device_landmarks()
+        return self._dev_valid
 
     # ------------------------------------------------------------------
     # keyframes + covisibility
