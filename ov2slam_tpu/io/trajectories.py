@@ -102,6 +102,35 @@ class TrajectoryLogger:
                 row = T[:3, :4].reshape(-1)
                 f.write(" ".join(f"{v:.9e}" for v in row) + "\n")
 
+    def write_poses_tum(self, path: str, poses_wc: np.ndarray):
+        """Write an externally supplied (F, 4, 4) pose array with this log's
+        timestamps (used for the full-pose-graph output,
+        optimizer.cpp:2838-2860)."""
+        with open(path, "w") as f:
+            for i in range(len(self.times)):
+                T = poses_wc[i]
+                q = _quat_from_R(T[:3, :3])
+                t = T[:3, 3]
+                f.write(
+                    f"{self.times[i]:.9f} {t[0]:.9f} {t[1]:.9f} {t[2]:.9f} "
+                    f"{q[0]:.9f} {q[1]:.9f} {q[2]:.9f} {q[3]:.9f}\n")
+
+    def write_kf_poses_tum(self, path: str, kf_poses_wc: Dict[int, np.ndarray]):
+        """Keyframe trajectory from externally supplied (refined) KF poses
+        (ov2slam_fullba_kfs_traj.txt, ov2slam.cpp:606-614)."""
+        with open(path, "w") as f:
+            for i in range(len(self.times)):
+                if not self.is_kf[i]:
+                    continue
+                T = kf_poses_wc.get(self.kf_ids[i])
+                if T is None:
+                    continue
+                q = _quat_from_R(T[:3, :3])
+                t = T[:3, 3]
+                f.write(
+                    f"{self.times[i]:.9f} {t[0]:.9f} {t[1]:.9f} {t[2]:.9f} "
+                    f"{q[0]:.9f} {q[1]:.9f} {q[2]:.9f} {q[3]:.9f}\n")
+
     def write_full_with_kf_poses(self, path: str, kf_poses_wc: Dict[int, np.ndarray]):
         """Rebuild every frame pose from (possibly LC-corrected) keyframe
         poses via the stored relative transforms, then write TUM

@@ -124,6 +124,111 @@ def solve_pose_graph(
     return PoseGraphResult(R_f, t_f, cost0, cost_f)
 
 
+_solve_pose_graph_batched = jax.jit(
+    jax.vmap(lambda p: solve_pose_graph(p, max_iters=15)))
+
+
+def relax_full_trajectory(
+    poses_wc_raw: "np.ndarray",     # (F, 4, 4) tracking-time T_wc (float64)
+    kf_frame_idx: "np.ndarray",     # (K,) frame indices that are live KFs
+    kf_T_wc: "np.ndarray",          # (K, 4, 4) corrected KF poses T_wc
+) -> "np.ndarray":
+    """Full-trajectory pose graph (reference: Optimizer::fullPoseGraph,
+    src/optimizer.cpp:2783-2865 + SlamManager::writeFullTrajectoryLC,
+    src/ov2slam.cpp:624-701): every frame pose is a node, chain edges carry
+    the tracking-time relative poses, keyframe poses are held constant at
+    their loop-corrected values, and the non-KF poses relax onto that
+    skeleton (<=100 Ceres iters in the reference).
+
+    TPU-first redesign: with the KF nodes fixed, the chain decomposes into
+    INDEPENDENT segments between consecutive keyframes. Instead of one
+    sparse (6F, 6F) solve we batch the S segments (padded to a power-of-two
+    length) and vmap the dense LM pose-graph solver over them — S small
+    dense solves on the MXU, one dispatch, no sparsity bookkeeping.
+
+    Returns (F, 4, 4) relaxed T_wc. Frames before the first / after the
+    last keyframe get the rigid chain rebuild (with only one anchored
+    endpoint the chain constraints are satisfiable exactly)."""
+    import numpy as np
+
+    F = len(poses_wc_raw)
+    out = np.array(poses_wc_raw, np.float64, copy=True)
+    if F == 0 or len(kf_frame_idx) == 0:
+        return out
+
+    # tracking-time relatives: rel[i] = T_wc_raw[i-1]^-1 @ T_wc_raw[i]
+    inv_prev = np.linalg.inv(poses_wc_raw[:-1])
+    rel = np.einsum("fij,fjk->fik", inv_prev, poses_wc_raw[1:])
+
+    # --- rigid chain rebuild from corrected KF anchors (the "wlc" pass) ---
+    kf_set = {int(i): k for k, i in enumerate(kf_frame_idx)}
+    # walk backwards from the first KF for leading frames
+    first_kf = int(kf_frame_idx[0])
+    T = kf_T_wc[0].copy()
+    for i in range(first_kf, -1, -1):
+        out[i] = T
+        if i > 0:
+            T = T @ np.linalg.inv(rel[i - 1])
+    T = kf_T_wc[0].copy()
+    for i in range(first_kf, F):
+        if i in kf_set:
+            T = kf_T_wc[kf_set[i]].copy()
+        elif i > 0:
+            T = out[i - 1] @ rel[i - 1]
+        out[i] = T
+
+    # --- batched segment relaxation between consecutive KFs ---
+    segs = []
+    for a, b in zip(kf_frame_idx[:-1], kf_frame_idx[1:]):
+        if b - a >= 2:                      # interior frames exist
+            segs.append((int(a), int(b)))
+    if not segs:
+        return out
+
+    Lmax = 1 << max(2, int(max(b - a for a, b in segs)).bit_length())
+    S = len(segs)
+    dt32 = np.float32
+    R = np.tile(np.eye(3, dtype=dt32), (S, Lmax, 1, 1))
+    t = np.zeros((S, Lmax, 3), dt32)
+    opt = np.zeros((S, Lmax), bool)
+    E = Lmax - 1
+    ei = np.zeros((S, E), np.int32)
+    ej = np.zeros((S, E), np.int32)
+    mR = np.tile(np.eye(3, dtype=dt32), (S, E, 1, 1))
+    mt = np.zeros((S, E, 3), dt32)
+    w = np.zeros((S, E), dt32)
+    for s, (a, b) in enumerate(segs):
+        n = b - a + 1
+        T_cw = np.linalg.inv(out[a:b + 1])          # init from chain rebuild
+        R[s, :n] = T_cw[:, :3, :3]
+        t[s, :n] = T_cw[:, :3, 3]
+        opt[s, 1:n - 1] = True                       # endpoints fixed
+        idx = np.arange(1, n)
+        ei[s, :n - 1] = idx
+        ej[s, :n - 1] = idx - 1
+        # meas T_ij in world-to-cam: T_cw_i @ T_cw_j^-1 = T_wc_i^-1 T_wc_j
+        m = np.linalg.inv(poses_wc_raw[a + 1:b + 1]) @ poses_wc_raw[a:b]
+        mR[s, :n - 1] = m[:, :3, :3]
+        mt[s, :n - 1] = m[:, :3, 3]
+        w[s, :n - 1] = 1.0
+
+    prob = PoseGraphProblem(
+        R=jnp.asarray(R), t=jnp.asarray(t), pose_opt=jnp.asarray(opt),
+        edge_i=jnp.asarray(ei), edge_j=jnp.asarray(ej),
+        meas_R=jnp.asarray(mR), meas_t=jnp.asarray(mt),
+        edge_weight=jnp.asarray(w))
+    res = _solve_pose_graph_batched(prob)
+    R_new = np.asarray(res.R, np.float64)
+    t_new = np.asarray(res.t, np.float64)
+    for s, (a, b) in enumerate(segs):
+        for li in range(1, b - a):
+            T_cw = np.eye(4)
+            T_cw[:3, :3] = R_new[s, li]
+            T_cw[:3, 3] = t_new[s, li]
+            out[a + li] = np.linalg.inv(T_cw)
+    return out
+
+
 def propagate_correction(
     R_old: jnp.ndarray, t_old: jnp.ndarray,
     R_new: jnp.ndarray, t_new: jnp.ndarray,

@@ -254,7 +254,8 @@ class Estimator:
             th2_mono=p.robust_mono_th, th2_stereo=p.robust_stereo_th,
             l2_refine=p.apply_l2_after_robust)
         # start the transfers now; they complete while tracking continues
-        for a in (result.R, result.t, result.Xw, result.lam, result.obs_inlier):
+        for a in (result.R, result.t, result.Xw, result.lam,
+                  result.obs_inlier, result.cost0, result.cost):
             try:
                 a.copy_to_host_async()
             except AttributeError:
@@ -283,8 +284,9 @@ class Estimator:
 
     def _writeback(self, m, prob, kf_list, lm_ids, meta, result, out) -> BAOutcome:
         # ---- write back poses (one overlapped fetch for all outputs) ----
-        R_np, t_np, Xw_np, lam_np, inl = fetch_np(
-            result.R, result.t, result.Xw, result.lam, result.obs_inlier)
+        R_np, t_np, Xw_np, lam_np, inl, cost0_np, cost_np = fetch_np(
+            result.R, result.t, result.Xw, result.lam, result.obs_inlier,
+            result.cost0, result.cost)
         for i, kfid in enumerate(kf_list):
             if meta["pose_opt"][i] and kfid in m.keyframes:
                 T = np.eye(4, dtype=np.float32)
@@ -322,8 +324,8 @@ class Estimator:
         out.n_lms = nL
         out.n_obs = meta["n_obs"]
         out.n_outliers = n_out
-        out.cost0 = float(result.cost0)
-        out.cost = float(result.cost)
+        out.cost0 = float(cost0_np)
+        out.cost = float(cost_np)
         return out
 
     # ------------------------------------------------------------------
@@ -338,16 +340,38 @@ class Estimator:
         kfs = sorted(m.keyframes)
         if len(kfs) < 3:
             return out
-        newest = kfs[-1]
-        # widen the covisibility notion: treat all (capped) KFs as the window
-        saved = dict(m.covis.get(newest, {}))
-        try:
-            m.covis[newest] = {
-                k: 10_000 for k in kfs[-(max_kfs - 2):] if k != newest}
-            return self.local_ba_with_caps(
-                m, newest, max_kfs, max_lms, max_obs, max_iters)
-        finally:
-            m.covis[newest] = saved
+        # beyond one dense window, sweep overlapping windows oldest->newest:
+        # each window re-optimizes its keyframes while the first half of its
+        # overlap with the previous (already-refined) window enters as
+        # constant anchors — covers every KF from 0 like the reference while
+        # keeping each solve a fixed-shape dense-Schur problem
+        win = max_kfs - 2
+        if len(kfs) <= win:
+            windows = [kfs]
+        else:
+            stride = max(1, win // 2)
+            starts = list(range(0, len(kfs) - win, stride)) + [len(kfs) - win]
+            windows = [kfs[s:s + win] for s in starts]
+        for wi, W in enumerate(windows):
+            newest = W[-1]
+            # anchor on the overlap with the previous window (score below
+            # nmin_covscore => enters the problem as a constant observer);
+            # the first window anchors the global frame on the oldest KF(s)
+            # like the reference fullBA (optimizer.cpp:1736-1747)
+            if wi > 0:
+                overlap = set(W[:max(1, win // 2)])
+            else:
+                overlap = set(W[:(1 if self.params.stereo else 2)])
+            saved = dict(m.covis.get(newest, {}))
+            try:
+                m.covis[newest] = {
+                    k: (0 if k in overlap else 10_000)
+                    for k in W if k != newest}
+                out = self.local_ba_with_caps(
+                    m, newest, max_kfs, max_lms, max_obs, max_iters)
+            finally:
+                m.covis[newest] = saved
+        return out
 
     def local_ba_with_caps(self, m, kfid, max_kfs, max_lms, max_obs,
                            max_iters, structure_only: bool = False) -> BAOutcome:

@@ -43,6 +43,8 @@ class LoopClosureEvent:
     n_inliers: int
     n_merged: int
     pose_jump: float           # |t| correction applied to the query KF
+    n_pairs_init: int = 0      # matches vs the single candidate KF
+    n_pairs_local: int = 0     # after loop-local-map expansion
 
 
 class LoopCloser:
@@ -215,9 +217,30 @@ class LoopCloser:
             err_th_norm=p.fransac_err / focal, n_hyps=512)
         if not bool(okflag) or int(n_in) < 10:
             return None
+
+        # ---- loop-local-map expansion (trackLoopLocalMap,
+        # loop_closer.cpp:502-583): 3D landmarks of the loop KF's covisible
+        # +/-15 keyframes, projected at the P3P estimate and descriptor-
+        # matched against the query KF's unmatched keypoints, grow the match
+        # set before the final PnP + >=30-inlier decision ----
+        n_pairs_init = len(pairs)
+        pairs = self._expand_loop_matches(m, rec, match_kf, pairs, T_est)
+        n_pairs_local = len(pairs)
+
+        N = 1 << max(9, (len(pairs) - 1).bit_length() if pairs else 9)
+        Xw = np.zeros((N, 3), np.float32)
+        bv = np.zeros((N, 3), np.float32)
+        bv[:, 2] = 1.0
+        unpx = np.zeros((N, 2), np.float32)
+        val = np.zeros(N, bool)
+        for j, (s, lm) in enumerate(pairs[:N]):
+            Xw[j] = m.lm_pos[lm]
+            bv[j] = rec.bv[s]
+            unpx[j] = rec.unpx[s]
+            val[j] = True
         pnp = pnp_mod.pnp_robust_then_l2(
             fe_mod.calib_of(self.cam_l), T_est, jnp.asarray(Xw),
-            jnp.asarray(unpx), inl, robust_th2=p.robust_mono_th)
+            jnp.asarray(unpx), jnp.asarray(val), robust_th2=p.robust_mono_th)
         n_inl = int(pnp.n_inliers)
         if n_inl < 30:           # reference threshold (loop_closer.cpp:304)
             return None
@@ -274,7 +297,78 @@ class LoopCloser:
 
         return LoopClosureEvent(
             query_kf=kfid, match_kf=match_kf, n_inliers=n_inl,
-            n_merged=n_merged, pose_jump=jump)
+            n_merged=n_merged, pose_jump=jump,
+            n_pairs_init=n_pairs_init, n_pairs_local=n_pairs_local)
+
+    # ------------------------------------------------------------------
+    def _expand_loop_matches(self, m: MapStore, rec, match_kf: int,
+                             pairs, T_est, max_cands: int = 2048):
+        """Grow the (query-kp-slot, loop-landmark) match set with the loop
+        KF's local map (reference: LoopCloser::trackLoopLocalMap,
+        loop_closer.cpp:502-583 — covisible KFs within +/-15 ids, projected
+        matching with maxdist=10 px). Returns the extended pair list."""
+        p = self.params
+        matched_slots = {s for s, _ in pairs}
+        matched_lms = {lm for _, lm in pairs}
+
+        groups = []
+        kf_list = [match_kf] + [k for k in m.covisible_kfs(match_kf)
+                                if abs(k - match_kf) <= 15]
+        for ckf in kf_list:
+            crec = m.keyframes.get(ckf)
+            if crec is not None:
+                groups.append(crec.lmid[crec.valid & crec.is3d
+                                        & (crec.lmid >= 0)])
+        if not groups:
+            return pairs
+        ids = np.unique(np.concatenate(groups))
+        ids = ids[m.lm_valid[ids] & m.lm_is3d[ids]]
+
+        # landmarks the query KF already observes join directly
+        # (loop_closer.cpp:545-552)
+        local_set = set(int(x) for x in ids) - matched_lms
+        for s in np.nonzero(rec.valid & (rec.lmid >= 0))[0]:
+            lm = int(rec.lmid[s])
+            if lm in local_set and s not in matched_slots:
+                pairs.append((int(s), lm))
+                matched_slots.add(int(s))
+                matched_lms.add(lm)
+                local_set.discard(lm)
+
+        cand = np.asarray([lm for lm in local_set
+                           if m.lm_desc_ok[lm]], np.int64)[:max_cands]
+        if len(cand) == 0:
+            return pairs
+        M = max_cands
+        pos = np.zeros((M, 3), np.float32)
+        cdesc = np.zeros((M, 8), np.uint32)
+        cvalid = np.zeros(M, bool)
+        pos[:len(cand)] = m.lm_pos[cand]
+        cdesc[:len(cand)] = m.lm_desc[cand]
+        cvalid[:len(cand)] = True
+
+        matchable = rec.valid & rec.desc_ok
+        matchable[list(matched_slots)] = False
+
+        from ov2slam_tpu.slam import frame as frame_mod
+        from ov2slam_tpu.slam import mapper as mapper_mod
+        snap = frame_mod.FrameKps.empty(rec.px.shape[0])._replace(
+            px=jnp.asarray(rec.px), valid=jnp.asarray(rec.valid))
+        res = mapper_mod.match_to_local_map(
+            snap, jnp.asarray(rec.desc), jnp.asarray(rec.desc_ok),
+            jnp.asarray(matchable),
+            jnp.asarray(pos), jnp.asarray(cdesc), jnp.asarray(cvalid),
+            self.cam_l, T_est.R, T_est.t,
+            max_px_dist=10.0,                       # loop_closer.cpp:269
+            max_desc_dist=p.fmax_desc_dist * 1.5)
+        ok_np, slot_np = np.asarray(res.ok), np.asarray(res.kp_slot)
+        for ci in np.nonzero(ok_np)[0]:
+            s = int(slot_np[ci])
+            if s < 0 or s in matched_slots:
+                continue
+            pairs.append((s, int(cand[ci])))
+            matched_slots.add(s)
+        return pairs
 
     # ------------------------------------------------------------------
     def _pose_graph_correct(self, m: MapStore, loop_kf: int, new_kf: int,

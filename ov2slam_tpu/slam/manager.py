@@ -749,9 +749,10 @@ class SlamSystem:
         stereo = pending["stereo"]
         cand_ids = pending["cand_ids"]
         anc = pending["anc"]
-        (k_px, k_unpx, k_bv, k_lmid, k_valid, k_is3d, k_rpx, k_hr,
-         desc_np, desc_ok_np, tri_ok, Xw_np, depth_np, med_depth,
-         xdesc_np, xok_np, tt_ok, tt_Xw, tt_da) = fetch_np(*pending["fetch"])
+        with self.prof.scope("2.KF_Registry_fetch"):
+            (k_px, k_unpx, k_bv, k_lmid, k_valid, k_is3d, k_rpx, k_hr,
+             desc_np, desc_ok_np, tri_ok, Xw_np, depth_np, med_depth,
+             xdesc_np, xok_np, tt_ok, tt_Xw, tt_da) = fetch_np(*pending["fetch"])
 
         # candidate ids that actually landed in the table
         used = np.isin(cand_ids, k_lmid[k_valid])
@@ -820,9 +821,10 @@ class SlamSystem:
         # mapper.cpp:576-774): dispatch now, merge bookkeeping next stage ----
         lmm = None
         if p.bdo_track_localmap and len(self.map.keyframes) >= 3:
-            lmm = self._dispatch_local_map_match(
-                kfid, rec, pending["desc_dev"], pending["desc_ok_dev"],
-                pending["T_cw"])
+            with self.prof.scope("2.KF_LMM_dispatch"):
+                lmm = self._dispatch_local_map_match(
+                    kfid, rec, pending["desc_dev"], pending["desc_ok_dev"],
+                    pending["T_cw"])
         self._pending_lmm = dict(
             kfid=kfid, rec=rec, lmm=lmm, run_ba=pending["run_ba"],
             defer=pending["defer"], age=0)
@@ -891,7 +893,8 @@ class SlamSystem:
         rec = pending["rec"]
         if pending["lmm"] is not None:
             res, ids = pending["lmm"]
-            ok_np, slot_np = fetch_np(res.ok, res.kp_slot)
+            with self.prof.scope("2.KF_LMM_fetch"):
+                ok_np, slot_np = fetch_np(res.ok, res.kp_slot)
             n_merged = 0
             taken = set()
             m = self.map
@@ -922,9 +925,11 @@ class SlamSystem:
                 if p.async_ba and pending["defer"]:
                     # deferred BA: finalize the previous KF's solve, dispatch
                     # this KF's, write back BA_LAG frames later
-                    self._finalize_pending_ba()
-                    self._pending_ba = self.estimator.begin_local_ba(
-                        self.map, kfid)
+                    with self.prof.scope("1.BA_finalize_prev"):
+                        self._finalize_pending_ba()
+                    with self.prof.scope("1.BA_begin"):
+                        self._pending_ba = self.estimator.begin_local_ba(
+                            self.map, kfid)
                     self._ba_age = 0
                 else:
                     T_old = rec.T_cw.copy()
@@ -1018,15 +1023,43 @@ class SlamSystem:
         self.logger.write_kitti(os.path.join(out_dir, "ov2slam_traj_kitti.txt"))
         self.logger.write_tum(os.path.join(out_dir, "ov2slam_kfs_traj.txt"), kf_only=True)
 
-        if self.params.do_full_ba and len(self.map.keyframes) >= 3:
-            with self.prof.scope("1.BA_fullBA"):
-                self.estimator.full_ba(self.map)
+        if self.params.do_full_ba:
+            if len(self.map.keyframes) >= 3:
+                with self.prof.scope("1.BA_fullBA"):
+                    self.estimator.full_ba(self.map)
+            # refined keyframe trajectory (ov2slam.cpp:606-614)
+            self.logger.write_kf_poses_tum(
+                os.path.join(out_dir, "ov2slam_fullba_kfs_traj.txt"),
+                {k: np.linalg.inv(rec.T_cw.astype(np.float64))
+                 for k, rec in self.map.keyframes.items()})
 
         if (self.params.buse_loop_closer or self.params.do_full_ba):
-            # rebuild every frame pose from the (corrected/refined) KF poses
-            kf_poses_wc = {
-                k: np.linalg.inv(rec.T_cw.astype(np.float64))
-                for k, rec in self.map.keyframes.items()}
-            self.logger.write_full_with_kf_poses(
-                os.path.join(out_dir, "ov2slam_full_traj_wlc_opt.txt"),
-                kf_poses_wc)
+            # full trajectory with loop corrections: rigid chain rebuild from
+            # corrected KF anchors (ov2slam_full_traj_wlc.txt,
+            # ov2slam.cpp:624-701), then the full pose graph relaxing every
+            # non-KF pose onto the corrected KF skeleton
+            # (ov2slam_full_traj_wlc_opt.txt, optimizer.cpp:2783-2865)
+            lg = self.logger
+            kf_idx, kf_Twc = [], []
+            for i in range(len(lg.times)):
+                if lg.is_kf[i] and lg.kf_ids[i] in self.map.keyframes:
+                    kf_idx.append(i)
+                    kf_Twc.append(np.linalg.inv(
+                        self.map.keyframes[lg.kf_ids[i]].T_cw.astype(np.float64)))
+            if kf_idx:
+                raw = np.stack([p for p in lg.poses_wc])
+                with self.prof.scope("1.BA_fullPoseGraph"):
+                    from ov2slam_tpu.opt import posegraph as pg_mod
+                    # rigid rebuild falls out of relax as its init; recompute
+                    # it standalone for the wlc (pre-relaxation) file
+                    relaxed = pg_mod.relax_full_trajectory(
+                        raw, np.asarray(kf_idx), np.stack(kf_Twc))
+                kf_poses_wc = {
+                    k: np.linalg.inv(rec.T_cw.astype(np.float64))
+                    for k, rec in self.map.keyframes.items()}
+                self.logger.write_full_with_kf_poses(
+                    os.path.join(out_dir, "ov2slam_full_traj_wlc.txt"),
+                    kf_poses_wc)
+                self.logger.write_poses_tum(
+                    os.path.join(out_dir, "ov2slam_full_traj_wlc_opt.txt"),
+                    relaxed)

@@ -156,3 +156,47 @@ def test_rotation_heavy_tracking():
     dw = np.asarray(lie_mod.so3_log(jnp.asarray(
         (R_est @ R_gt.T).astype(np.float32))))
     assert np.linalg.norm(dw) < 0.02
+
+
+def test_windowed_full_ba_refines_all_keyframes(sequence):
+    """fullBA beyond one dense window (optimizer.cpp:1674-2333): overlapping
+    window sweeps must refine every keyframe, recovering from an injected
+    perturbation of poses + landmarks."""
+    frames_l, frames_r, poses_gt = sequence
+    params = SlamParams.from_dict(syn.slam_params_dict())
+    slam = SlamSystem(params)
+    for i, (il, ir) in enumerate(zip(frames_l, frames_r)):
+        slam.process_stereo(il, ir, time=i * 0.05)
+    slam.flush()
+    m = slam.map
+    kfs = sorted(m.keyframes)
+    assert len(kfs) >= 6
+
+    gt_by_time = {round(i * 0.05, 6): poses_gt[i] for i in range(len(poses_gt))}
+
+    def kf_ate():
+        errs = []
+        for k in kfs:
+            rec = m.keyframes[k]
+            gt = gt_by_time.get(round(rec.time, 6))
+            if gt is None:
+                continue
+            t_wc = np.linalg.inv(rec.T_cw.astype(np.float64))[:3, 3]
+            errs.append(np.linalg.norm(t_wc - gt[:3, 3]))
+        return float(np.mean(errs))
+
+    # perturb every KF pose except the first two (gauge anchors stay)
+    rng = np.random.default_rng(7)
+    for k in kfs[2:]:
+        rec = m.keyframes[k]
+        T = rec.T_cw.astype(np.float64)
+        T[:3, 3] += rng.normal(0, 0.01, 3)
+        rec.T_cw = T.astype(np.float32)
+    m._device_dirty = True
+    ate_pert = kf_ate()
+
+    # small max_kfs forces >= 3 overlapping windows over the trajectory
+    slam.estimator.full_ba(m, max_kfs=8, max_iters=8)
+    ate_after = kf_ate()
+    assert np.isfinite(ate_after)
+    assert ate_after < ate_pert * 0.8, (ate_pert, ate_after)

@@ -101,10 +101,12 @@ def test_cli_end_to_end(tmp_path):
     assert traj.shape == (12, 8)
     assert (out / "ov2slam_traj_kitti.txt").exists()
     assert (out / "ov2slam_kfs_traj.txt").exists()
-    # do_full_ba triggers the full-trajectory output too
+    # do_full_ba triggers the full-trajectory + refined-KF outputs too
     assert (out / "ov2slam_full_traj_wlc_opt.txt").exists()
     full = np.loadtxt(out / "ov2slam_full_traj_wlc_opt.txt")
     assert full.shape == (12, 8)
+    assert (out / "ov2slam_full_traj_wlc.txt").exists()
+    assert (out / "ov2slam_fullba_kfs_traj.txt").exists()
 
 
 def test_map_save_load(tmp_path):

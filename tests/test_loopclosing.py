@@ -74,6 +74,25 @@ def test_loop_closure_fires_and_map_stays_consistent():
     # merged landmarks recorded
     assert ev.n_merged >= 0
 
+    # loop-local-map expansion grew the match set beyond the single
+    # candidate KF (trackLoopLocalMap, loop_closer.cpp:502-583)
+    assert ev.n_pairs_local >= ev.n_pairs_init
+    assert ev.n_pairs_local > 0
+
+    # final passes: LC-corrected full trajectory (rigid rebuild) + the full
+    # pose graph relaxation (optimizer.cpp:2783-2865) are written and finite
+    import tempfile
+    out = tempfile.mkdtemp()
+    slam.write_results(out)
+    import os
+    wlc = np.loadtxt(os.path.join(out, "ov2slam_full_traj_wlc.txt"))
+    opt = np.loadtxt(os.path.join(out, "ov2slam_full_traj_wlc_opt.txt"))
+    assert wlc.shape == (len(frames_l), 8) == opt.shape
+    assert np.isfinite(opt).all()
+    # the relaxed full trajectory must stay at least as accurate
+    err_opt = ate_rmse(opt[:, 1:4], gt_t)
+    assert err_opt < 0.08, f"relaxed full-traj ATE {err_opt:.3f}"
+
 
 def test_relocalization_after_kidnap():
     """'Kidnapped robot': blind the camera for several frames, then show a

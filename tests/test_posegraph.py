@@ -108,3 +108,62 @@ def test_propagate_correction():
         np.asarray(out.R[0]), np.asarray(T_tail_new_expected.R), atol=1e-5)
     np.testing.assert_allclose(
         np.asarray(out.t[0]), np.asarray(T_tail_new_expected.t), atol=1e-5)
+
+
+def test_relax_full_trajectory_beats_rigid_rebuild():
+    """Full-trajectory pose graph (optimizer.cpp:2783-2865): non-KF poses
+    relax onto the corrected KF skeleton; the rigid chain rebuild leaves
+    the whole drift at segment ends, the relaxation spreads it."""
+    rng = np.random.default_rng(3)
+    n = 61
+    kf_every = 6
+    # ground-truth world poses T_wc along an arc
+    gt = [np.eye(4)]
+    for i in range(1, n):
+        th = 0.02
+        step = np.eye(4)
+        step[:3, :3] = np.array([
+            [np.cos(th), 0, np.sin(th)],
+            [0, 1, 0],
+            [-np.sin(th), 0, np.cos(th)]])
+        step[:3, 3] = [0.1, 0.0, 0.01]
+        gt.append(gt[-1] @ step)
+    gt = np.stack(gt)
+
+    # drifted tracking: integrate GT relatives with per-step noise
+    raw = [gt[0].copy()]
+    for i in range(1, n):
+        rel = np.linalg.inv(gt[i - 1]) @ gt[i]
+        d = np.eye(4)
+        ax = rng.normal(0, 0.002, 3)
+        th = np.linalg.norm(ax)
+        K = np.array([[0, -ax[2], ax[1]], [ax[2], 0, -ax[0]], [-ax[1], ax[0], 0]])
+        d[:3, :3] = np.eye(3) + K + 0.5 * (K @ K)
+        d[:3, 3] = rng.normal(0, 0.01, 3)
+        raw.append(raw[-1] @ rel @ d)
+    raw = np.stack(raw)
+
+    kf_idx = np.arange(0, n, kf_every)
+    relaxed = pg.relax_full_trajectory(raw, kf_idx, gt[kf_idx])
+
+    # KF poses pass through exactly
+    np.testing.assert_allclose(relaxed[kf_idx], gt[kf_idx], atol=1e-5)
+
+    # rigid rebuild: each segment integrates raw relatives from its start KF
+    rigid = raw.copy()
+    for a in kf_idx:
+        T = gt[a].copy()
+        rigid[a] = T
+        for i in range(a + 1, min(a + kf_every, n)):
+            T = T @ (np.linalg.inv(raw[i - 1]) @ raw[i])
+            rigid[i] = T
+
+    def err(est):
+        return np.linalg.norm(est[:, :3, 3] - gt[:, :3, 3], axis=1)
+
+    interior = np.setdiff1d(np.arange(n), kf_idx)
+    e_rigid = err(rigid)[interior]
+    e_relax = err(relaxed)[interior]
+    assert e_relax.mean() < e_rigid.mean() * 0.9
+    assert e_relax.max() < e_rigid.max() * 1.01
+    assert np.isfinite(relaxed).all()
