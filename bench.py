@@ -51,20 +51,26 @@ def main():
     slam.reset()
     slam.logger.reset()
 
-    # two timed passes, keep the better (the tunneled-TPU link has
-    # intermittent multi-x latency spikes unrelated to the workload)
+    # three timed passes, keep the best (the tunneled-TPU link has
+    # intermittent multi-x latency swings unrelated to the workload;
+    # the best pass is the closest estimate of the chip's real speed)
     best_dt = float("inf")
-    for _ in range(2):
+    chunk = int(os.environ.get("BENCH_CHUNK", "0"))
+    for _ in range(3):
         slam.reset()
         slam.logger.reset()
-        chunk = int(os.environ.get("BENCH_CHUNK", "1"))
         t0 = time.perf_counter()
-        i = 0
-        while i < n_frames:
-            batch = [(frames_l[j], frames_r[j], j * 0.05)
-                     for j in range(i, min(i + chunk, n_frames))]
-            slam.process_stereo_chunk(batch)
-            i += len(batch)
+        if chunk <= 1:
+            # the pipelined real-time surface (force_realtime path)
+            for j in range(n_frames):
+                slam.process_stereo(frames_l[j], frames_r[j], j * 0.05)
+        else:
+            i = 0
+            while i < n_frames:
+                batch = [(frames_l[j], frames_r[j], j * 0.05)
+                         for j in range(i, min(i + chunk, n_frames))]
+                slam.process_stereo_chunk(batch)
+                i += len(batch)
         slam.flush()
         best_dt = min(best_dt, time.perf_counter() - t0)
     dt = best_dt

@@ -56,11 +56,14 @@ class BAOutcome:
 
 class Estimator:
     def __init__(self, params: SlamParams, calib_l: Calib, calib_r: Calib,
-                 T_rl: SE3):
+                 T_rl: SE3, fetcher=None):
         self.params = params
         self.calib_l = calib_l
         self.calib_r = calib_r
         self.T_rl = T_rl
+        # optional single-worker executor: deferred-BA result fetches run on
+        # it so the tracking thread never pays the device->host round trip
+        self.fetcher = fetcher
 
     # ------------------------------------------------------------------
     def build_problem(
@@ -254,20 +257,27 @@ class Estimator:
             th2_mono=p.robust_mono_th, th2_stereo=p.robust_stereo_th,
             l2_refine=p.apply_l2_after_robust)
         # start the transfers now; they complete while tracking continues
-        for a in (result.R, result.t, result.Xw, result.lam,
-                  result.obs_inlier, result.cost0, result.cost):
-            try:
-                a.copy_to_host_async()
-            except AttributeError:
-                pass
-        return (prob, kf_list, lm_ids, meta, result)
+        arrs = (result.R, result.t, result.Xw, result.lam,
+                result.obs_inlier, result.cost0, result.cost)
+        fut = None
+        if self.fetcher is not None:
+            fut = self.fetcher.submit(fetch_np, *arrs)
+        else:
+            for a in arrs:
+                try:
+                    a.copy_to_host_async()
+                except AttributeError:
+                    pass
+        return (prob, kf_list, lm_ids, meta, result, fut)
 
     def finalize_local_ba(self, m: MapStore, pending) -> BAOutcome:
         out = BAOutcome()
         if pending is None:
             return out
-        prob, kf_list, lm_ids, meta, result = pending
-        return self._writeback(m, prob, kf_list, lm_ids, meta, result, out)
+        prob, kf_list, lm_ids, meta, result, fut = pending
+        pre = fut.result() if fut is not None else None
+        return self._writeback(m, prob, kf_list, lm_ids, meta, result, out,
+                               prefetched=pre)
 
     def local_ba(self, m: MapStore, new_kfid: int, max_iters: int = 5) -> BAOutcome:
         built = self.build_problem(m, new_kfid)
@@ -282,11 +292,14 @@ class Estimator:
             l2_refine=p.apply_l2_after_robust)
         return self._writeback(m, prob, kf_list, lm_ids, meta, result, out)
 
-    def _writeback(self, m, prob, kf_list, lm_ids, meta, result, out) -> BAOutcome:
+    def _writeback(self, m, prob, kf_list, lm_ids, meta, result, out,
+                   prefetched=None) -> BAOutcome:
         # ---- write back poses (one overlapped fetch for all outputs) ----
-        R_np, t_np, Xw_np, lam_np, inl, cost0_np, cost_np = fetch_np(
-            result.R, result.t, result.Xw, result.lam, result.obs_inlier,
-            result.cost0, result.cost)
+        if prefetched is None:
+            prefetched = fetch_np(
+                result.R, result.t, result.Xw, result.lam, result.obs_inlier,
+                result.cost0, result.cost)
+        R_np, t_np, Xw_np, lam_np, inl, cost0_np, cost_np = prefetched
         for i, kfid in enumerate(kf_list):
             if meta["pose_opt"][i] and kfid in m.keyframes:
                 T = np.eye(4, dtype=np.float32)

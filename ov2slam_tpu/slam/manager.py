@@ -123,8 +123,14 @@ class SlamSystem:
         ov2slam.cpp:427-454)."""
         p = self.params
         self.map = MapStore(p.lm_capacity)
+        # 3 workers: per-frame stats fetches must not queue behind the big
+        # keyframe-bundle / BA-result fetches (each can wait tens of ms on
+        # the in-order device queue)
+        from concurrent.futures import ThreadPoolExecutor
+        self._fetcher = ThreadPoolExecutor(max_workers=3)
         self.estimator = Estimator(
-            p, fe_mod.calib_of(self.cam_l), fe_mod.calib_of(self.cam_r), self.T_rl)
+            p, fe_mod.calib_of(self.cam_l), fe_mod.calib_of(self.cam_r),
+            self.T_rl, fetcher=self._fetcher)
         self.loopcloser = (LoopCloser(p, self.cam_l, self.estimator)
                            if p.buse_loop_closer else None)
         self.last_loop_event = None
@@ -236,9 +242,14 @@ class SlamSystem:
                 pass
 
         if p.force_realtime and self.initialized:
-            # enqueue; finalize frame i-k so its stats transfer (started at
-            # dispatch) has had k frames of wall time to complete
-            self._inflight.append((stats, iml, imr, time))
+            # enqueue; finalize frame i-k so its stats transfer has had k
+            # frames of wall time to complete. The blocking device->host
+            # fetch costs a full link round trip (~13 ms p50 on the tunneled
+            # TPU even for a 12-float vector) even with copy_to_host_async,
+            # so a single fetcher thread pays it off the critical path (the
+            # fetch releases the GIL) and finalize reads the ready result.
+            self._inflight.append(
+                (self._fetcher.submit(np.asarray, stats), iml, imr, time))
             while len(self._inflight) > max(1, p.pipeline_depth):
                 self._finalize_frame(*self._inflight.popleft())
             # advance at most one staged KF-commit step per frame
@@ -260,6 +271,8 @@ class SlamSystem:
         """Blocking half of frame processing: read the stats vector, update
         the pose/log, decide + run keyframe processing."""
         p = self.params
+        if hasattr(stats, "result"):        # prefetched on the fetcher thread
+            stats = stats.result()
         stats_np = np.asarray(stats)
         pose_ok = stats_np[0] > 0.5
         n_tracked = int(stats_np[1])
@@ -682,11 +695,9 @@ class SlamSystem:
                 res.desc, res.desc_ok, res.tri_ok, res.tri_Xw,
                 res.tri_depth, res.med_depth, res.extra_desc, res.extra_ok,
                 res.tt_ok, res.tt_Xw, res.tt_depth_anchor)
-            for a in fetch:
-                try:
-                    a.copy_to_host_async()
-                except AttributeError:
-                    pass
+            # the fetcher thread pays the device->host round trip off the
+            # tracking thread; _commit_kf just reads the ready result
+            fetch_fut = self._fetcher.submit(fetch_np, *fetch)
 
         # device-state updates tracking needs immediately: parallax reference
         # re-anchors to this KF, pose syncs
@@ -698,7 +709,7 @@ class SlamSystem:
         self.kf_time = time
 
         pending = dict(
-            kfid=kfid, time=time, T_cw=self.T_cw.copy(), fetch=fetch,
+            kfid=kfid, time=time, T_cw=self.T_cw.copy(), fetch=fetch_fut,
             cand_ids=cand_ids, anc=anc, n_cells=n_cells,
             desc_dev=res.desc, desc_ok_dev=res.desc_ok,
             stereo=stereo, run_ba=run_ba, defer=defer, age=0)
@@ -752,7 +763,7 @@ class SlamSystem:
         with self.prof.scope("2.KF_Registry_fetch"):
             (k_px, k_unpx, k_bv, k_lmid, k_valid, k_is3d, k_rpx, k_hr,
              desc_np, desc_ok_np, tri_ok, Xw_np, depth_np, med_depth,
-             xdesc_np, xok_np, tt_ok, tt_Xw, tt_da) = fetch_np(*pending["fetch"])
+             xdesc_np, xok_np, tt_ok, tt_Xw, tt_da) = pending["fetch"].result()
 
         # candidate ids that actually landed in the table
         used = np.isin(cand_ids, k_lmid[k_valid])
@@ -877,12 +888,7 @@ class SlamSystem:
             jnp.asarray(T_cw[:3, :3]), jnp.asarray(T_cw[:3, 3]),
             max_px_dist=self.params.fmax_proj_pxdist,
             max_desc_dist=self.params.fmax_desc_dist)
-        for a in (res.ok, res.kp_slot):
-            try:
-                a.copy_to_host_async()
-            except AttributeError:
-                pass
-        return (res, idsp)
+        return (self._fetcher.submit(fetch_np, res.ok, res.kp_slot), idsp)
 
     # ------------------------------------------------------------------
     def _commit_lmm(self, pending):
@@ -892,9 +898,9 @@ class SlamSystem:
         kfid = pending["kfid"]
         rec = pending["rec"]
         if pending["lmm"] is not None:
-            res, ids = pending["lmm"]
+            fut, ids = pending["lmm"]
             with self.prof.scope("2.KF_LMM_fetch"):
-                ok_np, slot_np = fetch_np(res.ok, res.kp_slot)
+                ok_np, slot_np = fut.result()
             n_merged = 0
             taken = set()
             m = self.map
