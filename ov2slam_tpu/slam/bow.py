@@ -132,6 +132,9 @@ class LCDetector:
     island_size: int = 10      # id radius grouping candidates into islands
     min_score: float = 8.0     # minimum island vote score
     min_consecutive: int = 2   # consecutive consistent islands required
+    # min-max-normalized per-candidate score cut before island grouping
+    # (iBoW-LCD filterCandidates, lcdetector.cc:183-204, default 0.3)
+    min_norm_score: float = 0.3
     force_python_index: bool = False
 
     def __post_init__(self):
@@ -156,6 +159,18 @@ class LCDetector:
             self._consecutive = 0
             self._last_island = None
             return None
+        # min-max-normalized candidate cut (iBoW-LCD filterCandidates,
+        # lcdetector.cc:183-204): weak tail candidates never join an island
+        if len(hits) > 1:
+            scores = [s for _, s in hits]
+            hi_s, lo_s = max(scores), min(scores)
+            if hi_s > lo_s:
+                hits = [(k, s) for k, s in hits
+                        if (s - lo_s) / (hi_s - lo_s) > self.min_norm_score]
+        if not hits:
+            self._consecutive = 0
+            self._last_island = None
+            return None
         # group hits into islands of nearby keyframe ids
         hits = sorted(hits)
         islands: List[List[Tuple[int, float]]] = []
@@ -169,6 +184,19 @@ class LCDetector:
             return sum(s for _, s in isl)
 
         best = max(islands, key=island_score)
+        # prior-island preference (getPriorIslands, lcdetector.cc:124-130):
+        # an island overlapping the previous query's island wins even if a
+        # different island now scores higher — temporal continuity beats
+        # raw score
+        if self._last_island is not None:
+            plo, phi = self._last_island
+            for isl in islands:
+                ilo, ihi = isl[0][0], isl[-1][0]
+                if (ilo <= phi + self.island_size
+                        and ihi >= plo - self.island_size):
+                    if island_score(isl) >= self.min_score:
+                        best = isl
+                    break
         score = island_score(best)
         if score < self.min_score:
             self._consecutive = 0

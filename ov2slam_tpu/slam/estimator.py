@@ -429,6 +429,8 @@ class Estimator:
         p = self.params
         if p.fkf_filtering_ratio >= 1.0:
             return 0
+        if new_kfid < 20:                 # estimator.cpp:107 warmup gate
+            return 0
         removed = 0
         for kfid in list(m.covis.get(new_kfid, {})):
             if kfid == 0 or kfid >= new_kfid - 2:
@@ -437,13 +439,15 @@ class Estimator:
             if rec is None:
                 continue
             slots = np.nonzero(rec.valid & rec.is3d & (rec.lmid >= 0))[0]
-            if len(slots) == 0:
+            # starved keyframes go immediately (estimator.cpp:139-143)
+            if len(slots) < p.nmin_covscore // 2:
+                m.remove_keyframe(kfid)
+                removed += 1
                 continue
-            n_cov = sum(
-                1 for s in slots
-                if len(m.lm_obs.get(int(rec.lmid[s]), ())) >= 4
-            )
-            if n_cov >= p.fkf_filtering_ratio * len(slots):
+            n_obs = np.asarray([len(m.lm_obs.get(int(rec.lmid[s]), ()))
+                                for s in slots])
+            n_cov = int((n_obs > 4).sum())
+            if n_cov > p.fkf_filtering_ratio * len(slots):
                 # the reference sweeps ALL covisible KFs per wave
                 # (estimator.cpp:101-183), not just the first hit
                 m.remove_keyframe(kfid)

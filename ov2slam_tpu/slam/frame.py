@@ -34,6 +34,9 @@ class FrameKps(NamedTuple):
     has_right: jnp.ndarray # (K,) bool
     kf_bv: jnp.ndarray     # (K, 3) bearing at the last keyframe (for the
                            # rotation-compensated parallax vs KF)
+    kf_px: jnp.ndarray     # (K, 2) raw pixel coords at the last keyframe
+                           # (template positions for KF-to-frame tracking,
+                           # visual_front_end.cpp:278-442)
 
     @property
     def cap(self) -> int:
@@ -51,6 +54,7 @@ class FrameKps(NamedTuple):
             rpx=jnp.zeros((cap, 2), dtype),
             has_right=jnp.zeros((cap,), bool),
             kf_bv=jnp.zeros((cap, 3), dtype),
+            kf_px=jnp.zeros((cap, 2), dtype),
         )
 
 
@@ -114,6 +118,7 @@ def insert_keypoints(
         rpx=scat(kps.rpx, jnp.zeros_like(new_px)),
         has_right=scat(kps.has_right, jnp.zeros_like(new_ok)),
         kf_bv=scat(kps.kf_bv, bv),
+        kf_px=scat(kps.kf_px, new_px),
     )
 
 

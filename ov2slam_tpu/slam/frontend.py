@@ -62,7 +62,7 @@ def ransac_hyps_of(params: SlamParams) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("nklt_pyr_lvl", "nklt_win", "nmax_iter", "do_epipolar",
-                     "n_ransac_hyps", "dop3p"),
+                     "n_ransac_hyps", "dop3p", "track_from_kf"),
 )
 def track_frame(
     prev_pyr: Tuple[jnp.ndarray, ...],
@@ -91,9 +91,16 @@ def track_frame(
     dop3p: bool = False,
     prev_gpyr=None,
     cur_gpyr=None,
+    track_from_kf: bool = False,
 ) -> TrackResult:
     """One full tracking step (the device side of visualTracking/trackMono,
-    visual_front_end.cpp:40-128)."""
+    visual_front_end.cpp:40-128).
+
+    With track_from_kf (btrack_keyframetoframe,
+    visual_front_end.cpp:278-442) the KLT template is the LAST KEYFRAME
+    image at the keypoints' KF positions instead of the previous frame —
+    drift-free tracking at the cost of a larger search displacement; the
+    caller passes the keyframe pyramids via prev_pyr/prev_gpyr."""
     if R_kf is None:
         R_kf = R_prev
     T_prior = SE3(R_prior, t_prior)
@@ -112,15 +119,16 @@ def track_frame(
     proj = cam_mod.project_cam_to_image_dist(cam, lie.se3_apply(T_prior, Xw))
     prior_ok = kp_is3d & cam_mod.in_image(cam, proj, border=nklt_win)
     prior = jnp.where(prior_ok[:, None], proj, kps.px)
+    tmpl_px = kps.kf_px if track_from_kf else kps.px
     st = klt_mod.fb_klt_tracking(
-        prev_pyr, cur_pyr, kps.px, prior,
+        prev_pyr, cur_pyr, tmpl_px, prior,
         kps.valid, nlevels=nklt_pyr_lvl, win=nklt_win, max_iters=nmax_iter,
         eps=fmax_px_precision, max_fb_dist=fmax_fbklt_dist, max_err=klt_err,
         prev_grad_pyr=prev_gpyr, next_grad_pyr=cur_gpyr)
     new_px = st.points
     ok = kps.valid & st.status
 
-    prev_bv = kps.bv
+    prev_bv = kps.kf_bv if track_from_kf else kps.bv
     kps2 = frame_mod.update_positions(kps, cam, new_px, ok)
     n_tracked = jnp.sum(kps2.valid)
 
@@ -131,7 +139,7 @@ def track_frame(
         # essential matrix is degenerate (pure rotation) and RANSAC inlier
         # classification is destructive — the reference skips the filter
         # below 2*fransac_err px (visual_front_end.cpp:530-537)
-        R_rel_prior = R_prior @ R_prev.T
+        R_rel_prior = R_prior @ (R_kf.T if track_from_kf else R_prev.T)
         bv_rot_p = jnp.einsum("ij,nj->ni", R_rel_prior, prev_bv)
         rot_px_p = cam_mod.project_cam_to_image(cam, bv_rot_p)
         par_p = jnp.linalg.norm(kps2.unpx - rot_px_p, axis=-1)
@@ -287,6 +295,11 @@ class FEState(NamedTuple):
     has_vel: jnp.ndarray               # bool
     R_kf: jnp.ndarray                  # rotation of the last keyframe
     key: jnp.ndarray
+    # last-keyframe image pyramids: KLT templates for the KF-to-frame
+    # tracking mode (btrack_keyframetoframe, visual_front_end.cpp:278-442)
+    kf_pyr: Tuple[jnp.ndarray, ...] = None
+    kf_gx: Tuple[jnp.ndarray, ...] = None
+    kf_gy: Tuple[jnp.ndarray, ...] = None
 
 
 def init_fe_state(img_u8: np.ndarray, kp_cap: int, levels: int,
@@ -303,6 +316,11 @@ def init_fe_state(img_u8: np.ndarray, kp_cap: int, levels: int,
         has_vel=jnp.asarray(False),
         R_kf=jnp.eye(3, dtype=jnp.float32),
         key=jax.random.PRNGKey(seed),
+        # copies, not aliases: the pytree is donated whole to frame_step and
+        # a buffer referenced by two donated leaves is an error
+        kf_pyr=tuple(jnp.copy(a) for a in pyr),
+        kf_gx=tuple(jnp.copy(a) for a in gx),
+        kf_gy=tuple(jnp.copy(a) for a in gy),
     )
 
 
@@ -334,6 +352,7 @@ def _frame_step_impl(
     robust_th2: float = 5.9915,
     n_ransac_hyps: int = 256,
     dop3p: bool = False,
+    track_from_kf: bool = False,
 ):
     """One frame: preprocess + motion model + track + pose + stats.
 
@@ -352,8 +371,12 @@ def _frame_step_impl(
     t_prior = jnp.where(state.has_vel, T_pred.t, T_prev.t)
 
     key, sub = jax.random.split(state.key)
+    use_kf_tmpl = track_from_kf and state.kf_pyr is not None
+    tmpl_pyr = state.kf_pyr if use_kf_tmpl else state.pyr
+    tmpl_g = (tuple(zip(state.kf_gx, state.kf_gy)) if use_kf_tmpl
+              else tuple(zip(state.gx, state.gy)))
     res = track_frame(
-        state.pyr, cur_pyr, state.kps, lm_pos, lm_is3d, cam,
+        tmpl_pyr, cur_pyr, state.kps, lm_pos, lm_is3d, cam,
         R_prior, t_prior, state.R_cw, state.t_cw, sub,
         R_kf=state.R_kf,
         nklt_pyr_lvl=levels, nklt_win=nklt_win, nmax_iter=nmax_iter,
@@ -362,8 +385,9 @@ def _frame_step_impl(
         do_epipolar=do_epipolar, fransac_err=fransac_err,
         robust_th2=robust_th2,
         n_ransac_hyps=n_ransac_hyps, dop3p=dop3p,
-        prev_gpyr=tuple(zip(state.gx, state.gy)),
-        cur_gpyr=tuple(zip(cur_gx, cur_gy)))
+        prev_gpyr=tmpl_g,
+        cur_gpyr=tuple(zip(cur_gx, cur_gy)),
+        track_from_kf=use_kf_tmpl)
 
     # velocity update: vel = T_new ∘ T_prev^-1
     T_new = SE3(res.T_cw_R, res.T_cw_t)
@@ -373,7 +397,8 @@ def _frame_step_impl(
         pyr=cur_pyr, gx=cur_gx, gy=cur_gy, kps=res.kps,
         R_cw=res.T_cw_R, t_cw=res.T_cw_t,
         R_vel=vel.R, t_vel=vel.t, has_vel=jnp.asarray(True),
-        R_kf=state.R_kf, key=key)
+        R_kf=state.R_kf, key=key,
+        kf_pyr=state.kf_pyr, kf_gx=state.kf_gx, kf_gy=state.kf_gy)
     stats = jnp.concatenate([
         jnp.stack([
             res.pose_ok.astype(jnp.float32),
@@ -389,7 +414,8 @@ def _frame_step_impl(
 frame_step = functools.partial(
     jax.jit,
     static_argnames=("levels", "use_clahe", "nklt_win", "nmax_iter",
-                     "do_epipolar", "n_ransac_hyps", "dop3p"),
+                     "do_epipolar", "n_ransac_hyps", "dop3p",
+                     "track_from_kf"),
     donate_argnums=(0,),
 )(_frame_step_impl)
 

@@ -235,7 +235,8 @@ class SlamSystem:
                 fmax_fbklt_dist=p.fmax_fbklt_dist, klt_err=p.nklt_err,
                 do_epipolar=p.doepipolar, fransac_err=p.fransac_err,
                 robust_th2=p.robust_mono_th,
-                n_ransac_hyps=fe_mod.ransac_hyps_of(p), dop3p=p.dop3p)
+                n_ransac_hyps=fe_mod.ransac_hyps_of(p), dop3p=p.dop3p,
+                track_from_kf=p.btrack_keyframetoframe)
             try:
                 stats.copy_to_host_async()
             except AttributeError:
@@ -364,7 +365,8 @@ class SlamSystem:
                 fmax_fbklt_dist=p.fmax_fbklt_dist, klt_err=p.nklt_err,
                 do_epipolar=p.doepipolar, fransac_err=p.fransac_err,
                 robust_th2=p.robust_mono_th,
-                n_ransac_hyps=fe_mod.ransac_hyps_of(p), dop3p=p.dop3p)
+                n_ransac_hyps=fe_mod.ransac_hyps_of(p), dop3p=p.dop3p,
+                track_from_kf=p.btrack_keyframetoframe)
             stats_np = np.asarray(stats)        # (N, 12)
 
         need_kf = False
@@ -525,7 +527,8 @@ class SlamSystem:
                 fmax_fbklt_dist=p.fmax_fbklt_dist, klt_err=p.nklt_err,
                 do_epipolar=p.doepipolar, fransac_err=p.fransac_err,
                 robust_th2=p.robust_mono_th,
-                n_ransac_hyps=fe_mod.ransac_hyps_of(p), dop3p=p.dop3p)
+                n_ransac_hyps=fe_mod.ransac_hyps_of(p), dop3p=p.dop3p,
+                track_from_kf=p.btrack_keyframetoframe)
             stats_np = np.asarray(stats)
 
         pose_ok = stats_np[0] > 0.5
@@ -701,9 +704,19 @@ class SlamSystem:
 
         # device-state updates tracking needs immediately: parallax reference
         # re-anchors to this KF, pose syncs
-        self._set_kps(self.kps._replace(kf_bv=jnp.copy(self.kps.bv)))
-        self.fe_state = self.fe_state._replace(
-            R_kf=jnp.asarray(self.T_cw[:3, :3]))
+        self._set_kps(self.kps._replace(kf_bv=jnp.copy(self.kps.bv),
+                                        kf_px=jnp.copy(self.kps.px)))
+        upd = dict(R_kf=jnp.asarray(self.T_cw[:3, :3]))
+        if p.btrack_keyframetoframe:
+            # snapshot the KF image pyramids as the new KLT templates
+            # (btrack_keyframetoframe, visual_front_end.cpp:278-442);
+            # copies, not aliases — the live pyramid buffers are donated to
+            # the next frame_step and a twice-donated buffer is an error
+            upd.update(
+                kf_pyr=tuple(jnp.copy(a) for a in self.fe_state.pyr),
+                kf_gx=tuple(jnp.copy(a) for a in self.fe_state.gx),
+                kf_gy=tuple(jnp.copy(a) for a in self.fe_state.gy))
+        self.fe_state = self.fe_state._replace(**upd)
         self._sync_pose_to_device()
         self.frames_since_kf = 0
         self.kf_time = time

@@ -142,6 +142,8 @@ def main():
     ap.add_argument("--cache", type=str, default="/tmp/ov2slam_hard_seq")
     ap.add_argument("--out", type=str, default=os.path.join(REPO, "BENCH_TABLE.md"))
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--inproc", action="store_true",
+                    help="run configs in this process (no subprocess isolation)")
     args = ap.parse_args()
     if args.cpu:
         os.environ["JAX_PLATFORMS"] = "cpu"
@@ -155,7 +157,30 @@ def main():
     rows = []
     for name in wanted:
         print(f"== {name} ==", flush=True)
-        row = run_config(name, cfgs[name], L, R, gt)
+        if args.inproc:
+            row = run_config(name, cfgs[name], L, R, gt)
+        else:
+            # each config in its own subprocess: a transient device failure
+            # (the tunneled TPU flakes occasionally) only loses that row
+            import subprocess
+            cmd = [sys.executable, os.path.abspath(__file__),
+                   "--frames", str(args.frames), "--cache", args.cache,
+                   "--configs", name, "--out", "/dev/null", "--inproc"]
+            if args.cpu:
+                cmd.append("--cpu")
+            res = subprocess.run(cmd, capture_output=True, text=True,
+                                 timeout=3600)
+            row = None
+            for line in res.stdout.splitlines():
+                if line.startswith("{") and '"config"' in line:
+                    row = json.loads(line)
+            if row is None:
+                print(res.stdout[-1000:])
+                print(res.stderr[-1000:])
+                row = {"config": name, "frames": args.frames, "fps": 0,
+                       "ate_rmse_m": float("nan"),
+                       "tracked_pct": 0, "keyframes": 0, "landmarks_3d": 0,
+                       "loop_closed": False, "error": "run failed"}
         print(json.dumps(row), flush=True)
         rows.append(row)
 

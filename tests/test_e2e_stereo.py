@@ -200,3 +200,22 @@ def test_windowed_full_ba_refines_all_keyframes(sequence):
     ate_after = kf_ate()
     assert np.isfinite(ate_after)
     assert ate_after < ate_pert * 0.8, (ate_pert, ate_after)
+
+
+def test_stereo_vo_kf_to_frame_tracking(sequence):
+    """btrack_keyframetoframe (visual_front_end.cpp:278-442): KLT templates
+    come from the last keyframe image at the keypoints' KF positions —
+    drift-free within a keyframe's lifetime."""
+    frames_l, frames_r, poses_gt = sequence
+    d = syn.slam_params_dict()
+    d["btrack_keyframetoframe"] = 1
+    slam = SlamSystem(SlamParams.from_dict(d))
+    est = []
+    for i, (il, ir) in enumerate(zip(frames_l, frames_r)):
+        T_wc = slam.process_stereo(il, ir, time=i * 0.05)
+        est.append(T_wc.copy())
+    assert slam.initialized
+    est_t = np.stack([T[:3, 3] for T in est])
+    gt_t = np.stack([T[:3, 3] for T in poses_gt])
+    err = ate_rmse(est_t, gt_t)
+    assert err < 0.05, f"KF-to-frame ATE {err:.4f} m too high"
