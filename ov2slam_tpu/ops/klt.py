@@ -52,6 +52,16 @@ _PREC = jax.lax.Precision.HIGHEST   # full-f32 MXU passes; bf16 default would
                                     # convergence
 
 
+def _use_pallas() -> bool:
+    """The Pallas GN-loop kernel (ops/pallas_lk.py) runs the whole iteration
+    chunk in one program with windows in VMEM — TPU only; the XLA while_loop
+    path below is the CPU/portable fallback (and the numerical reference)."""
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 def _extract_windows(imgs: jnp.ndarray, origin: jnp.ndarray, ws: int
                      ) -> jnp.ndarray:
     """imgs (C, H, W) stacked channels; origin (N, 2) int (x, y) ->
@@ -158,6 +168,7 @@ def _track_level(
     active = track
     nwin = None
     o_next = None
+    use_pallas = _use_pallas()
     for _ in range(n_chunks):
         o_next = origins(pts)
         nwin = _extract_windows(next_img[None], o_next, ws)[0]
@@ -173,20 +184,28 @@ def _track_level(
             dy = -(-gxy * bx + gxx * by) * inv_det
             return jnp.where(a[:, None], jnp.stack([dx, dy], axis=-1), 0.0)
 
-        def cond(carry):
-            it, p, a = carry
-            return (it < iters_per_chunk) & jnp.any(a)
+        if use_pallas:
+            from ov2slam_tpu.ops import pallas_lk
+            pts, active = pallas_lk.lk_iterate(
+                nwin, tmpl, gx, gy, gxx, gxy, gyy, inv_det, o_next, ctr,
+                pts, active, win=win, n_iters=iters_per_chunk, eps=eps,
+                margin=margin)
+        else:
+            def cond(carry):
+                it, p, a = carry
+                return (it < iters_per_chunk) & jnp.any(a)
 
-        def body(carry):
-            it, p, a = carry
-            step = gn_delta(p, a)
-            new_p = p + step
-            conv = jnp.sum(step * step, axis=-1) < eps * eps
-            # pause points that left the window; the next chunk re-centers
-            dev = jnp.max(jnp.abs(new_p - ctr), axis=-1)
-            return it + 1, new_p, a & ~conv & (dev <= margin)
+            def body(carry):
+                it, p, a = carry
+                step = gn_delta(p, a)
+                new_p = p + step
+                conv = jnp.sum(step * step, axis=-1) < eps * eps
+                # pause points that left the window; next chunk re-centers
+                dev = jnp.max(jnp.abs(new_p - ctr), axis=-1)
+                return it + 1, new_p, a & ~conv & (dev <= margin)
 
-        _, pts, _ = jax.lax.while_loop(cond, body, (jnp.asarray(0), pts, active))
+            _, pts, _ = jax.lax.while_loop(
+                cond, body, (jnp.asarray(0), pts, active))
         # reactivate unconverged points for the next (re-centered) chunk
         step = gn_delta(pts, track)
         notconv = jnp.sum(step * step, axis=-1) >= eps * eps
