@@ -147,11 +147,12 @@ class TrajectoryLogger:
                     f"{q[0]:.9f} {q[1]:.9f} {q[2]:.9f} {q[3]:.9f}\n")
 
 
-def ate_rmse(traj_est: np.ndarray, traj_gt: np.ndarray, align: bool = True
-             ) -> float:
-    """Absolute trajectory error (RMSE) after optional SE(3)/Sim(3)-free
-    Umeyama alignment — the evaluation metric of the reference's benchmark
-    protocol (benchmark_scripts/euroc_bench.sh)."""
+def ate_rmse(traj_est: np.ndarray, traj_gt: np.ndarray, align: bool = True,
+             with_scale: bool = False) -> float:
+    """Absolute trajectory error (RMSE) after optional Umeyama alignment —
+    the evaluation metric of the reference's benchmark protocol
+    (benchmark_scripts/euroc_bench.sh). with_scale=True uses the Sim(3)
+    (scale-corrected) variant, the standard for monocular trajectories."""
     est = np.asarray(traj_est, np.float64)
     gt = np.asarray(traj_gt, np.float64)
     assert est.shape == gt.shape
@@ -161,10 +162,16 @@ def ate_rmse(traj_est: np.ndarray, traj_gt: np.ndarray, align: bool = True
         E = est - mu_e
         G = gt - mu_g
         H = E.T @ G
-        U, _, Vt = np.linalg.svd(H)
+        U, D, Vt = np.linalg.svd(H)
         d = np.sign(np.linalg.det(Vt.T @ U.T))
         S = np.diag([1.0, 1.0, d])
         R = Vt.T @ S @ U.T
-        est = (R @ E.T).T + mu_g
+        c = 1.0
+        if with_scale:
+            # Umeyama: c = tr(DS) / (n * var_e); H above is unnormalized
+            var_e = (E ** 2).sum() / len(E)
+            c = float(np.trace(np.diag(D) @ S)
+                      / max(len(E) * var_e, 1e-12))
+        est = c * (R @ E.T).T + mu_g
         gt = G + mu_g
     return float(np.sqrt(np.mean(np.sum((est - gt) ** 2, axis=-1))))

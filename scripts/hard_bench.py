@@ -79,6 +79,9 @@ def tier_configs():
     cfgs["fast_stereo"] = fast
     acc_nolc = dict(acc); acc_nolc.update(buse_loop_closer=0)
     cfgs["accurate_stereo_nolc"] = acc_nolc
+    # rectification path end-to-end: undistort+rectify remap at frame rate
+    rect = dict(acc); rect.update(bdo_stereo_rect=1)
+    cfgs["accurate_stereo_rect"] = rect
     mono = dict(base)
     mono.update(mono=1, stereo=0, buse_loop_closer=0)
     cfgs["accurate_mono"] = mono
@@ -113,7 +116,10 @@ def run_config(name, cfg, L, R, gt, max_frames=None):
     est[ts[ts < n]] = tr[: (ts < n).sum(), 1:4]
     ok = np.isfinite(est).all(axis=1)
     gt_t = gt[:n, :3, 3]
-    ate = ate_rmse(est[ok], gt_t[ok]) if ok.sum() > 10 else float("nan")
+    # mono trajectories are up-to-scale: Sim(3)-aligned ATE (the standard
+    # monocular protocol); stereo is metric: SE(3)-aligned
+    ate = ate_rmse(est[ok], gt_t[ok], with_scale=mono) \
+        if ok.sum() > 10 else float("nan")
     row = {
         "config": name, "frames": n, "fps": round(n / dt, 2),
         "ate_rmse_m": round(float(ate), 4),

@@ -183,9 +183,10 @@ def render_hard_sequence(n_frames=1000, seed=0, dist=(-0.28, 0.07),
                          with_exposure=True):
     """Generator of (img_l, img_r, t, T_wc_gt): distorted, exposure-drifted
     stereo frames around the room loop. Yields lazily — 1000+ frames at
-    752x480 would be ~2.9 GB if materialized."""
+    752x480 would be ~2.9 GB if materialized. The lap count scales with
+    length (1000 frames ~ 1 lap), so longer sequences revisit repeatedly."""
     world = RoomWorld(seed=seed)
-    poses = loop_trajectory(n_frames)
+    poses = loop_trajectory(n_frames, laps=1.08 * max(1.0, n_frames / 1000.0))
     T_rl = np.eye(4)
     T_rl[0, 3] = -BASELINE
     T_lr = np.linalg.inv(T_rl)

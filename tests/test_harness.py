@@ -244,3 +244,16 @@ def test_kitti_resolution_smoke():
     est_t = np.stack([T[:3, 3] for T in est])
     # metric scale from the 0.537 m baseline
     assert abs(est_t[-1, 0] - 3.6) < 0.4
+
+
+def test_ate_sim3_alignment():
+    """Sim(3) (scale-corrected Umeyama) ATE — the monocular protocol."""
+    from ov2slam_tpu.io.trajectories import ate_rmse
+    rng = np.random.default_rng(0)
+    gt = rng.normal(0, 2, (100, 3))
+    th = 0.3
+    R = np.array([[np.cos(th), -np.sin(th), 0],
+                  [np.sin(th), np.cos(th), 0], [0, 0, 1]])
+    est = 3.7 * (gt @ R.T) + np.array([1, 2, 3]) + rng.normal(0, 0.01, (100, 3))
+    assert ate_rmse(est, gt, with_scale=True) < 0.05
+    assert ate_rmse(est, gt) > 1.0
