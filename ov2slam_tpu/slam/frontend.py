@@ -423,7 +423,8 @@ frame_step = functools.partial(
 @functools.partial(
     jax.jit,
     static_argnames=("levels", "use_clahe", "nklt_win", "nmax_iter",
-                     "do_epipolar", "n_ransac_hyps", "dop3p"),
+                     "do_epipolar", "n_ransac_hyps", "dop3p",
+                     "track_from_kf"),
     donate_argnums=(0,),
 )
 def frame_chunk_step(
@@ -445,6 +446,7 @@ def frame_chunk_step(
     robust_th2: float = 5.9915,
     n_ransac_hyps: int = 256,
     dop3p: bool = False,
+    track_from_kf: bool = False,
 ):
     """Track N consecutive frames in ONE dispatch (lax.scan over the fused
     per-frame step): the host round trip amortizes over the chunk. Keyframe
@@ -455,7 +457,7 @@ def frame_chunk_step(
             st, img, lm_pos, lm_is3d, cam, levels, use_clahe, clahe_clip,
             nklt_win, nmax_iter, fmax_px_precision, fmax_fbklt_dist,
             klt_err, do_epipolar, fransac_err, robust_th2,
-            n_ransac_hyps, dop3p)
+            n_ransac_hyps, dop3p, track_from_kf)
         return st2, stats
 
     state2, stats = jax.lax.scan(body, state, imgs_u8)

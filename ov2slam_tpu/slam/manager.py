@@ -45,6 +45,14 @@ def _refresh_flags_dev(lmid, valid, lm_valid, lm_is3d):
     return valid & alive, valid & alive & lm_is3d[slot]
 
 
+def _to_device_u8(img) -> jnp.ndarray:
+    """Image (host float/uint8 OR device array, e.g. a rectified frame kept
+    on device) -> device uint8, without a host round trip."""
+    if isinstance(img, jnp.ndarray):
+        return img.astype(jnp.uint8)
+    return jax.device_put(np.ascontiguousarray(img).astype(np.uint8))
+
+
 def _mat_from_quat_np(q: np.ndarray) -> np.ndarray:
     x, y, z, w = q
     return np.array([
@@ -103,6 +111,17 @@ class SlamSystem:
             baseline = float(np.linalg.norm(np.asarray(self.T_rl.t)))
             self.T_rl = SE3(jnp.eye(3, dtype=jnp.float32),
                             jnp.asarray([-baseline, 0.0, 0.0], jnp.float32))
+
+        # rectified-row geometry? (rectification performed, or the input is
+        # born-rectified: zero distortion + pure x-baseline extrinsics) —
+        # gates the SAD line-search stereo prior, which the reference uses
+        # exactly when bdo_stereo_rect (map_manager.cpp:439-470)
+        pure_baseline = (
+            np.abs(np.asarray(self.T_rl.R) - np.eye(3)).max() < 1e-6
+            and np.abs(np.asarray(self.T_rl.t)[1:]).max() < 1e-6)
+        zero_dist = np.abs([p.k1l, p.k2l, p.k1r, p.k2r]).max() < 1e-9
+        self._rows_aligned = bool(p.stereo and (
+            self.rect_maps is not None or (pure_baseline and zero_dist)))
 
         if p.use_dogleg or p.use_subspace_dogleg:
             import warnings
@@ -211,12 +230,12 @@ class SlamSystem:
             iml = self._rectify(iml, 0)
             imr = self._rectify(imr, 1)
         self._last_imr = imr
-        img_u8 = jax.device_put(np.ascontiguousarray(iml).astype(np.uint8))
+        img_u8 = _to_device_u8(iml)
 
         with self.prof.scope("0.Full-Front_End"):
             if self.fe_state is None:
                 self.fe_state = fe_mod.init_fe_state(
-                    np.asarray(iml, np.uint8), self.kp_cap, p.nklt_pyr_lvl,
+                    img_u8, self.kp_cap, p.nklt_pyr_lvl,
                     p.use_clahe, p.fclahe_val)
                 self._initialize_stereo(iml, imr, time)
                 T_wkf = None
@@ -343,20 +362,21 @@ class SlamSystem:
         # finalize anything pending from single-frame mode
         self.flush()
         self.frame_id += len(frames)
-        imgs = np.stack([np.ascontiguousarray(f[0]).astype(np.uint8)
-                         for f in frames])
-        imr_last = np.ascontiguousarray(frames[-1][1]).astype(np.uint8)
         if self.rect_maps is not None:
-            imgs = np.stack([self._rectify(f, 0) for f in imgs]).astype(np.uint8)
+            imgs = jnp.stack([self._rectify(f[0], 0) for f in frames]
+                             ).astype(jnp.uint8)
             # the right image is only consumed at keyframes; rectify the last
             # one (the KF candidate) so stereo matching sees the same geometry
             # as the per-frame path (advisor finding r1 #1)
-            imr_last = self._rectify(imr_last, 1).astype(np.uint8)
+            imr_last = self._rectify(frames[-1][1], 1).astype(jnp.uint8)
+        else:
+            imgs = jnp.stack([_to_device_u8(f[0]) for f in frames])
+            imr_last = _to_device_u8(frames[-1][1])
         self._last_imr = imr_last
         lm_pos, lm_is3d = self.map.device_landmarks()
         with self.prof.scope("0.Full-Front_End"):
             self.fe_state, stats = fe_mod.frame_chunk_step(
-                self.fe_state, jax.device_put(imgs), lm_pos, lm_is3d,
+                self.fe_state, imgs, lm_pos, lm_is3d,
                 self.cam_l,
                 levels=p.nklt_pyr_lvl, use_clahe=p.use_clahe,
                 clahe_clip=p.fclahe_val, nklt_win=p.nklt_win_size,
@@ -421,11 +441,13 @@ class SlamSystem:
             self._apply_pose_correction(T_old, rec.T_cw)
         self._refresh_kp_3d_flags()
 
-    def _rectify(self, img: np.ndarray, cam_idx: int) -> np.ndarray:
+    def _rectify(self, img, cam_idx: int):
+        """Rectify on device and KEEP the result there (a per-frame
+        device->host image download costs a 1.4 MB transfer + host churn;
+        every consumer accepts device arrays)."""
         from ov2slam_tpu.ops import image as im_mod
-        out = im_mod.remap_bilinear(
-            jnp.asarray(np.asarray(img, np.float32)), self.rect_maps[cam_idx])
-        return np.asarray(out)
+        return im_mod.remap_bilinear(
+            jnp.asarray(img, jnp.float32), self.rect_maps[cam_idx])
 
     def T_wc(self) -> np.ndarray:
         return np.linalg.inv(self.T_cw.astype(np.float64)).astype(np.float32)
@@ -666,7 +688,7 @@ class SlamSystem:
                         else "fast" if p.use_fast else "singlescale")
             if stereo:
                 right_pyr = fe_mod.preprocess(
-                    jax.device_put(np.ascontiguousarray(imr).astype(np.uint8)),
+                    _to_device_u8(imr),
                     p.nklt_pyr_lvl, p.use_clahe, p.fclahe_val)
             else:
                 right_pyr = cur_pyr
@@ -686,7 +708,8 @@ class SlamSystem:
                 cellsize=p.nmaxdist, detector=detector, fast_th=p.nfast_th,
                 nlevels=p.nklt_pyr_lvl, win=p.nklt_win_size,
                 max_iters=p.nmax_iter, fb_dist=p.fmax_fbklt_dist,
-                klt_err=p.nklt_err, epi_th_px=p.fepi_th, stereo=stereo)
+                klt_err=p.nklt_err, epi_th_px=p.fepi_th, stereo=stereo,
+                use_sad_prior=self._rows_aligned)
             self._set_kps(res.kps)
             kp = res.kps
             # snapshot the kps arrays (device copies): the live table's

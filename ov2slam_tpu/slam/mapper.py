@@ -59,7 +59,50 @@ def detect_keypoints(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("nlevels", "win", "max_iters"))
+    jax.jit, static_argnames=("win", "max_disp"))
+def sad_line_prior(
+    left_img: jnp.ndarray,
+    right_img: jnp.ndarray,
+    px: jnp.ndarray,          # (N, 2)
+    win: int = 9,
+    max_disp: int = 128,
+):
+    """Best-SAD disparity along the rectified epipolar row, batched
+    (FeatureTracker::getLineMinSAD, feature_tracker.cpp:140-206: the
+    reference slides a window leftward pixel by pixel per keypoint; here
+    ONE strip extraction per keypoint + max_disp+1 shifted window SADs run
+    as dense device math).
+
+    Returns (x_prior (N,), sad_min (N,)) — the right-image x coordinate of
+    the best window and its mean L1 error."""
+    H, W = left_img.shape
+    half = win // 2
+    ix = jnp.clip(jnp.round(px[:, 0]).astype(jnp.int32), half, W - 1 - half)
+    iy = jnp.clip(jnp.round(px[:, 1]).astype(jnp.int32), half, H - 1 - half)
+
+    def slice_l(x, y):
+        return jax.lax.dynamic_slice(
+            left_img, (y - half, x - half), (win, win))
+
+    tmpl = jax.vmap(slice_l)(ix, iy)                     # (N, win, win)
+    SW = win + max_disp
+    sx = jnp.clip(ix - max_disp - half, 0, W - SW)
+
+    def slice_r(x, y):
+        return jax.lax.dynamic_slice(right_img, (y - half, x), (win, SW))
+
+    strip = jax.vmap(slice_r)(sx, iy)                    # (N, win, SW)
+    sads = jnp.stack(
+        [jnp.mean(jnp.abs(strip[:, :, s:s + win] - tmpl), axis=(1, 2))
+         for s in range(max_disp + 1)], axis=1)          # (N, max_disp+1)
+    best = jnp.argmin(sads, axis=1)
+    x_best = (sx + best + half).astype(left_img.dtype)
+    return x_best, jnp.min(sads, axis=1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nlevels", "win", "max_iters", "use_sad_prior"))
 def stereo_match(
     left_pyr: Tuple[jnp.ndarray, ...],
     right_pyr: Tuple[jnp.ndarray, ...],
@@ -79,11 +122,13 @@ def stereo_match(
     fb_dist: float = 0.5,
     klt_err: float = 30.0,
     epi_th_px: float = 2.0,
+    use_sad_prior: bool = False,
 ) -> StereoMatchResult:
     """Left->right KLT with depth-based priors + epipolar gate
-    (MapManager::stereoMatching, map_manager.cpp:367-611 — the reference
-    seeds from SAD line search / 3D projection; we seed from landmark depth
-    or the median scene depth, then run the same fb-KLT + epipolar check)."""
+    (MapManager::stereoMatching, map_manager.cpp:367-611). The reference
+    seeds rectified pairs with the SAD row scan and unrectified ones from
+    3D projection; with use_sad_prior (rows aligned) the 2D keypoints get
+    the batched SAD disparity prior, 3D keypoints keep the projection."""
     T_rl = SE3(R_rl, t_rl)
     T_cw = SE3(R_cw, t_cw)
 
@@ -97,6 +142,10 @@ def stereo_match(
     prior = cam_mod.project_cam_to_image_dist(cam_r, lie.se3_apply(T_rl, Xl))
     prior_ok = cam_mod.in_image(cam_r, prior, border=win)
     prior = jnp.where(prior_ok[:, None], prior, kps.px)
+    if use_sad_prior:
+        x_sad, _ = sad_line_prior(left_pyr[0], right_pyr[0], kps.px, win=win)
+        sad_prior = jnp.stack([x_sad, kps.px[:, 1]], axis=-1)
+        prior = jnp.where(kp3d[:, None], prior, sad_prior)
 
     res = klt_mod.fb_klt_tracking(
         left_pyr, right_pyr, kps.px, prior, kps.valid,
@@ -288,7 +337,7 @@ class KFStepResult(NamedTuple):
 @functools.partial(
     jax.jit,
     static_argnames=("cellsize", "detector", "fast_th", "nlevels", "win",
-                     "max_iters", "stereo"),
+                     "max_iters", "stereo", "use_sad_prior"),
     donate_argnums=(2,),
 )
 def kf_step(
@@ -323,6 +372,7 @@ def kf_step(
     klt_err: float = 30.0,
     epi_th_px: float = 2.0,
     stereo: bool = True,
+    use_sad_prior: bool = False,
 ) -> KFStepResult:
     """The whole device side of keyframe creation in ONE dispatch:
     grid detection -> keypoint insertion -> BRIEF description -> stereo
@@ -382,7 +432,7 @@ def kf_step(
         left_pyr, right_pyr, kps2, lm_pos, lm_is3d, cam_l, cam_r,
         R_cw, t_cw, R_rl, t_rl, depth_prior,
         nlevels=nlevels, win=win, max_iters=max_iters, fb_dist=fb_dist,
-        klt_err=klt_err, epi_th_px=epi_th_px)
+        klt_err=klt_err, epi_th_px=epi_th_px, use_sad_prior=use_sad_prior)
     tri = triangulate_stereo(kps2, sm.rpx, sm.ok, cam_r, R_cw, t_cw, R_rl, t_rl)
 
     good = tri.ok & kps2.valid

@@ -130,3 +130,24 @@ def test_flat_patches_rejected():
     out, ok, err = run_ours(img0, img1, pts, nlevels=1)
     assert not ok[0]
     assert ok[1]
+
+
+def test_sad_line_prior_recovers_disparity():
+    """Batched SAD row scan (getLineMinSAD, feature_tracker.cpp:140-206):
+    right image = left shifted by a known disparity."""
+    import jax.numpy as jnp
+    from ov2slam_tpu.slam import mapper as mapper_mod
+    rng = np.random.default_rng(3)
+    H, W, d_true = 120, 400, 23
+    left = rng.uniform(0, 255, (H, W)).astype(np.float32)
+    left = cv2.GaussianBlur(left, (5, 5), 1.0)
+    right = np.roll(left, -d_true, axis=1)   # disparity: x_r = x_l - d
+    px = rng.uniform(80, 320, (64, 2)).astype(np.float32)
+    px[:, 1] = rng.uniform(20, 100, 64)
+    x_best, sad = mapper_mod.sad_line_prior(
+        jnp.asarray(left), jnp.asarray(right), jnp.asarray(px), win=9,
+        max_disp=64)
+    disp = np.round(px[:, 0]) - np.asarray(x_best)
+    good = np.abs(disp - d_true) <= 1
+    assert good.mean() > 0.9, f"only {good.mean():.2f} recovered d={d_true}"
+    assert np.asarray(sad)[good].mean() < 10.0
