@@ -421,8 +421,9 @@ class SlamSystem:
     def flush(self):
         """Finalize all in-flight frames, staged KF commits and pending BA
         (pipelined mode)."""
+        fin = self._finalize_mono if self.params.mono else self._finalize_frame
         while self._inflight:
-            self._finalize_frame(*self._inflight.popleft())
+            fin(*self._inflight.popleft())
         self._drain_kf_pipeline()
         self._finalize_pending_ba()
 
@@ -551,44 +552,81 @@ class SlamSystem:
                 robust_th2=p.robust_mono_th,
                 n_ransac_hyps=fe_mod.ransac_hyps_of(p), dop3p=p.dop3p,
                 track_from_kf=p.btrack_keyframetoframe)
-            stats_np = np.asarray(stats)
 
-        pose_ok = stats_np[0] > 0.5
-        n_tracked = int(stats_np[1])
-        parallax = float(stats_np[4])
-        if pose_ok and self.initialized:
-            T = np.eye(4, dtype=np.float32)
-            T[:3, :3] = _mat_from_quat_np(stats_np[8:12])
-            T[:3, 3] = stats_np[5:8]
-            self.T_cw = T
+        if p.force_realtime and self.initialized:
+            # pipelined mono (same structure as stereo): the blocking stats
+            # read lags pipeline_depth frames behind the dispatch
+            self._inflight.append(
+                (self._fetcher.submit(np.asarray, stats), im, None, time))
+            while len(self._inflight) > max(1, p.pipeline_depth):
+                self._finalize_mono(*self._inflight.popleft())
+            self._advance_kf_pipeline()
+            return self.T_wc()
 
-        need_kf = False
+        stats_np = np.asarray(stats)
         if not self.initialized:
+            pose_ok = stats_np[0] > 0.5
+            n_tracked = int(stats_np[1])
+            parallax = float(stats_np[4])
+            if pose_ok:
+                T = np.eye(4, dtype=np.float32)
+                T[:3, :3] = _mat_from_quat_np(stats_np[8:12])
+                T[:3, 3] = stats_np[5:8]
+                self.T_cw = T
             # tracking-loss pre-init => reset (visual_front_end.cpp:100-102)
             if n_tracked < 0.3 * self.n_kps_at_kf:
                 self.reset()
                 self.logger.add(time, np.eye(4, dtype=np.float32), False, -1, None)
                 return np.eye(4, dtype=np.float32)
+            need_kf = False
             if parallax > p.finit_parallax:
                 if self._try_mono_init(time):
                     need_kf = False      # init created the KF itself
-        else:
-            need_kf = fe_mod.check_new_kf(
-                p, n_tracked, int(stats_np[2]), parallax,
-                self.frames_since_kf, self.n3d_at_kf, pose_ok,
-                time_since_kf=time - self.kf_time)
-            if need_kf:
-                with self.prof.scope("1.KF_Processing"):
-                    self._create_keyframe(im, None, time, stereo=False,
-                                          defer=False)
+            if not need_kf:
+                self.frames_since_kf += 1
+            self._log_pose(time, need_kf)
+            return self.T_wc()
 
-        if not need_kf:
-            self.frames_since_kf += 1
-        T_wkf = None
-        if self.cur_kfid in self.map.keyframes:
-            T_wkf = np.linalg.inv(self.map.keyframes[self.cur_kfid].T_cw)
-        self.logger.add(time, self.T_wc(), need_kf, self.cur_kfid, T_wkf)
+        self._finalize_mono(stats_np, im, None, time)
         return self.T_wc()
+
+    # ------------------------------------------------------------------
+    def _finalize_mono(self, stats, im, _imr, time, allow_kf=True,
+                       force_kf=False):
+        """Blocking half of initialized mono frame processing (mirrors
+        _finalize_frame; in pipelined mode keyframes are created on the
+        NEWEST in-flight frame, like the reference under frame dropping)."""
+        p = self.params
+        if hasattr(stats, "result"):
+            stats = stats.result()
+        stats_np = np.asarray(stats)
+        pose_ok = stats_np[0] > 0.5
+        n_tracked = int(stats_np[1])
+        parallax = float(stats_np[4])
+        if pose_ok:
+            T = np.eye(4, dtype=np.float32)
+            T[:3, :3] = _mat_from_quat_np(stats_np[8:12])
+            T[:3, 3] = stats_np[5:8]
+            self.T_cw = T
+        need_kf = allow_kf and fe_mod.check_new_kf(
+            p, n_tracked, int(stats_np[2]), parallax,
+            self.frames_since_kf, self.n3d_at_kf, pose_ok,
+            time_since_kf=time - self.kf_time)
+        if need_kf and self._inflight:
+            self.frames_since_kf += 1
+            self._log_pose(time, False)
+            while len(self._inflight) > 1:
+                self._finalize_mono(*self._inflight.popleft(), allow_kf=False)
+            self._finalize_mono(*self._inflight.popleft(), allow_kf=False,
+                                force_kf=True)
+            return
+        if need_kf or force_kf:
+            with self.prof.scope("1.KF_Processing"):
+                self._create_keyframe(im, None, time, stereo=False,
+                                      defer=False)
+        else:
+            self.frames_since_kf += 1
+        self._log_pose(time, need_kf or force_kf)
 
     # ------------------------------------------------------------------
     def _try_mono_init(self, time) -> bool:
@@ -659,8 +697,9 @@ class SlamSystem:
     # (mapper.cpp:44-170, estimator.cpp:32-98).
     # ------------------------------------------------------------------
 
-    KF_COMMIT_LAG = 2     # frames between kf_step dispatch and registry commit
-    BA_LAG = 3            # frames between BA dispatch and writeback
+    KF_COMMIT_LAG = 4     # frames between kf_step dispatch and registry commit
+    LMM_LAG = 2           # frames between local-map-match dispatch and merge
+    BA_LAG = 4            # frames between BA dispatch and writeback
 
     def _create_keyframe(self, iml, imr, time, run_ba=True, stereo=True,
                          defer=None):
@@ -768,7 +807,7 @@ class SlamSystem:
             return
         if self._pending_lmm is not None:
             self._pending_lmm["age"] += 1
-            if self._pending_lmm["age"] >= 1:
+            if self._pending_lmm["age"] >= self.LMM_LAG:
                 pend, self._pending_lmm = self._pending_lmm, None
                 with self.prof.scope("2.KF_MatchLocalMap"):
                     self._commit_lmm(pend)

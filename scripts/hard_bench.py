@@ -83,7 +83,7 @@ def tier_configs():
     rect = dict(acc); rect.update(bdo_stereo_rect=1)
     cfgs["accurate_stereo_rect"] = rect
     mono = dict(base)
-    mono.update(mono=1, stereo=0, buse_loop_closer=0)
+    mono.update(mono=1, stereo=0, buse_loop_closer=0, force_realtime=1)
     cfgs["accurate_mono"] = mono
     return cfgs
 

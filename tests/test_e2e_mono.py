@@ -69,3 +69,25 @@ def test_mono_no_parallax_no_init():
     for i in range(12):
         slam.process_mono(frames_l[0], time=i * 0.05)
     assert not slam.initialized
+
+
+def test_mono_pipelined_realtime():
+    """Pipelined (force_realtime) mono: stats fetch lags pipeline_depth
+    frames, keyframes land on the newest in-flight frame."""
+    frames_l, _, poses_gt = syn.render_sequence(n_frames=50, step=0.05)
+    d = syn.slam_params_dict()
+    d["mono"] = 1
+    d["stereo"] = 0
+    d["force_realtime"] = 1
+    slam = SlamSystem(SlamParams.from_dict(d))
+    for i, il in enumerate(frames_l):
+        T = slam.process_mono(il, time=i * 0.05)
+        assert np.isfinite(T).all()
+    slam.flush()
+    assert slam.initialized
+    assert slam.map.n_3d() > 40
+    est_t = np.stack([np.asarray(p)[:3, 3] for p in slam.logger.poses_wc])
+    gt_t = np.stack([T[:3, 3] for T in poses_gt])
+    n = min(len(est_t), len(gt_t))
+    err, _ = umeyama_scale_ate(est_t[-n:], gt_t[-n:])
+    assert err < 0.1, f"pipelined mono scale-aligned ATE {err:.3f}"
