@@ -172,7 +172,11 @@ class SlamParams:
     # arrives, hiding the host<->device round trip behind k frames of device
     # work. Keyframe decisions lag by up to k frames (the KF itself is
     # created on the newest frame, like the reference under frame dropping).
-    pipeline_depth: int = 3
+    # Deeper = higher throughput, higher pose-output latency (k frames =
+    # k/fps seconds): measured 38.6 / 40.5 / 43.7 fps at depth 3 / 4 / 6 on
+    # the tunneled v5e (ATE unchanged). Locally-attached chips have far
+    # lower link latency and can run shallower.
+    pipeline_depth: int = 6
     kf_capacity: int = 1 << 11
     dtype: str = "float32"
     # Global matmul precision. TPU MXU default is bfloat16 inputs, which is
@@ -306,6 +310,6 @@ class SlamParams:
             kp_capacity=int(_get(d, "kp_capacity", 0)),
             lm_capacity=int(_get(d, "lm_capacity", 1 << 14)),
             async_ba=b("async_ba", bool(int(_get(d, "force_realtime", 0)))),
-            pipeline_depth=int(_get(d, "pipeline_depth", 3)),
+            pipeline_depth=int(_get(d, "pipeline_depth", 6)),
             matmul_precision=str(_get(d, "matmul_precision", "highest")),
         )
