@@ -102,6 +102,20 @@ class TrajectoryLogger:
                 row = T[:3, :4].reshape(-1)
                 f.write(" ".join(f"{v:.9e}" for v in row) + "\n")
 
+    def write_tartanair(self, path: str, kf_only: bool = False):
+        """TartanAir format: x y z qx qy qz qw per line, no timestamp
+        (logger.hpp:162-185 writeTrajectoryTartanAir /
+        :242-271 writeKfsTrajectoryTartanAir)."""
+        with open(path, "w") as f:
+            for i, T in enumerate(self.poses_wc):
+                if kf_only and not self.is_kf[i]:
+                    continue
+                q = _quat_from_R(T[:3, :3])
+                t = T[:3, 3]
+                f.write(
+                    f"{t[0]:.9f} {t[1]:.9f} {t[2]:.9f} "
+                    f"{q[0]:.9f} {q[1]:.9f} {q[2]:.9f} {q[3]:.9f}\n")
+
     def write_poses_tum(self, path: str, poses_wc: np.ndarray):
         """Write an externally supplied (F, 4, 4) pose array with this log's
         timestamps (used for the full-pose-graph output,

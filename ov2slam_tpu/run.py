@@ -100,6 +100,14 @@ def main(argv=None):
     dt = _time.perf_counter() - t0
     os.makedirs(args.out, exist_ok=True)
     slam.write_results(args.out)
+    if args.dataset == "tartanair":
+        # timestamp-free variants for the TartanAir eval tooling
+        # (logger.hpp:162-185, :242-271)
+        slam.logger.write_tartanair(
+            os.path.join(args.out, "ov2slam_traj_tartanair.txt"))
+        slam.logger.write_tartanair(
+            os.path.join(args.out, "ov2slam_kfs_traj_tartanair.txt"),
+            kf_only=True)
     print(f"processed {n} frames in {dt:.1f}s ({n / max(dt, 1e-9):.2f} fps); "
           f"dropped {n_dropped}; "
           f"{len(slam.map.keyframes)} keyframes, {slam.map.n_3d()} landmarks; "

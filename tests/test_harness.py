@@ -257,3 +257,22 @@ def test_ate_sim3_alignment():
     est = 3.7 * (gt @ R.T) + np.array([1, 2, 3]) + rng.normal(0, 0.01, (100, 3))
     assert ate_rmse(est, gt, with_scale=True) < 0.05
     assert ate_rmse(est, gt) > 1.0
+
+
+def test_tartanair_trajectory_writer(tmp_path):
+    """TartanAir format: x y z qx qy qz qw, no timestamp
+    (logger.hpp:162-185)."""
+    from ov2slam_tpu.io.trajectories import TrajectoryLogger
+    lg = TrajectoryLogger()
+    T = np.eye(4)
+    T[:3, 3] = [1.0, 2.0, 3.0]
+    lg.add(0.0, T, True, 0, T)
+    lg.add(0.05, T, False, 0, T)
+    p = tmp_path / "tartan.txt"
+    lg.write_tartanair(str(p))
+    rows = np.loadtxt(p)
+    assert rows.shape == (2, 7)
+    np.testing.assert_allclose(rows[0, :3], [1, 2, 3])
+    np.testing.assert_allclose(rows[0, 6], 1.0)     # identity quat w
+    lg.write_tartanair(str(p), kf_only=True)
+    assert np.loadtxt(p).shape == (7,)
