@@ -14,11 +14,14 @@ exactly the spirit of the reference's nmin_covscore windowing.
 
 from __future__ import annotations
 
+import logging
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 import jax.numpy as jnp
+
+_log = logging.getLogger("ov2slam_tpu.estimator")
 
 from ov2slam_tpu.config import SlamParams
 from ov2slam_tpu.core.lie import SE3
@@ -64,6 +67,9 @@ class Estimator:
         # optional single-worker executor: deferred-BA result fetches run on
         # it so the tracking thread never pays the device->host round trip
         self.fetcher = fetcher
+        # silent-cap observability: how often a window overflowed a padded
+        # bucket and was truncated (landmarks or observations dropped)
+        self.n_truncations = 0
 
     # ------------------------------------------------------------------
     def build_problem(
@@ -92,7 +98,13 @@ class Estimator:
         _, first_idx = np.unique(cat, return_index=True)
         uniq = cat[np.sort(first_idx)]
         good = m.lm_valid[uniq] & m.lm_is3d[uniq]
+        n_lm_raw = int(good.sum())
         lm_set = [int(x) for x in uniq[good][:max_lms]]
+        if n_lm_raw > max_lms:
+            self.n_truncations += 1
+            _log.warning(
+                "BA window at kf=%d truncated: %d landmarks > capacity %d",
+                new_kfid, n_lm_raw, max_lms)
         if len(lm_set) < 8:
             return None
 
@@ -204,7 +216,17 @@ class Estimator:
             mlm.append(lmids[rsel])
             mslot.append(slots[rsel])
             mright.append(np.ones(rsel.sum(), bool))
-        okf = np.concatenate(okf)[:O]
+        okf = np.concatenate(okf)
+        n_obs_raw = len(okf)
+        if n_obs_raw > O:
+            # a dense window overflowing the padded bucket silently drops
+            # constraints (typically of the constant KFs appended last) —
+            # surface it (SURVEY "no silent caps")
+            self.n_truncations += 1
+            _log.warning(
+                "BA window at kf=%d truncated: %d observations > capacity %d",
+                new_kfid, n_obs_raw, O)
+        okf = okf[:O]
         olm = np.concatenate(olm)[:O]
         opx = np.concatenate(opx)[:O]
         orgt = np.concatenate(orgt)[:O]
@@ -349,8 +371,18 @@ class Estimator:
 
         The window is every keyframe (capped at max_kfs most-recent for the
         dense-Schur layout); gauge = oldest keyframe in the window."""
+        return self.windowed_ba(m, sorted(m.keyframes), max_kfs, max_lms,
+                                max_obs, max_iters)
+
+    def windowed_ba(self, m: MapStore, kfs, max_kfs: int = 64,
+                    max_lms: int = 8192, max_obs: int = 32768,
+                    max_iters: int = 10) -> BAOutcome:
+        """Bundle-adjust an arbitrary keyframe span (oldest first). Shared by
+        the final full BA and the post-loop-closure loose BA
+        (Optimizer::looseBA spans the whole [loop KF, new KF] range,
+        optimizer.cpp:995-1024; the first KF(s) stay fixed as the gauge)."""
         out = BAOutcome()
-        kfs = sorted(m.keyframes)
+        kfs = sorted(kfs)
         if len(kfs) < 3:
             return out
         # beyond one dense window, sweep overlapping windows oldest->newest:

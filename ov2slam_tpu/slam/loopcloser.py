@@ -55,6 +55,10 @@ class LoopCloser:
         self.detector = bow.LCDetector()
         self.last_closure_kf = -10
 
+    def _key(self, i: int):
+        """RANSAC key; bdo_random=0 pins sampling (multi_view_geometry.cpp:207)."""
+        return jax.random.PRNGKey(i if self.params.bdo_random else 0)
+
     # ------------------------------------------------------------------
     def process_kf(self, m: MapStore, kfid: int,
                    key=None) -> Optional[LoopClosureEvent]:
@@ -145,7 +149,7 @@ class LoopCloser:
         if j < 15:
             return None
         if key is None:
-            key = jax.random.PRNGKey(cand_kf)
+            key = self._key(cand_kf)
         focal = float(self.cam_l.fx + self.cam_l.fy) * 0.5
         T_est, inl, n_in, okflag = mvg.p3p_ransac(
             jnp.asarray(Xw), jnp.asarray(bv), jnp.asarray(val), key,
@@ -187,6 +191,29 @@ class LoopCloser:
         if good.sum() < 15:
             return None
 
+        # ---- epipolar pre-filter (loop_closer.cpp:462-499): a 5-pt/8-pt
+        # essential RANSAC over the kNN matches rejects gross outliers
+        # cheaply before the P3P + PnP cascade ----
+        gi = np.nonzero(good)[0]
+        Npad = 512
+        bva = np.zeros((Npad, 3), np.float32); bva[:, 2] = 1.0
+        bvb = np.zeros((Npad, 3), np.float32); bvb[:, 2] = 1.0
+        evalid = np.zeros(Npad, bool)
+        ne = min(len(gi), Npad)
+        bva[:ne] = mrec.bv[loop_idx[best[gi[:ne]]]]
+        bvb[:ne] = rec.bv[cur_idx[gi[:ne]]]
+        evalid[:ne] = True
+        focal_e = float(self.cam_l.fx + self.cam_l.fy) * 0.5
+        eres = mvg.essential_ransac(
+            jnp.asarray(bva), jnp.asarray(bvb), jnp.asarray(evalid),
+            self._key(kfid ^ 0x5A5A),
+            err_th=p.fransac_err / focal_e, n_hyps=1024)
+        if bool(eres.success):
+            einl = np.asarray(eres.inliers)[:ne]
+            good[gi[:ne][~einl]] = False
+            if good.sum() < 15:
+                return None
+
         # matched pairs: current kp slot s -> loop landmark id
         pairs = []
         for i in np.nonzero(good)[0]:
@@ -210,7 +237,7 @@ class LoopCloser:
             unpx[j] = rec.unpx[s]
             val[j] = True
         if key is None:
-            key = jax.random.PRNGKey(kfid)
+            key = self._key(kfid)
         focal = float(self.cam_l.fx + self.cam_l.fy) * 0.5
         T_est, inl, n_in, okflag = mvg.p3p_ransac(
             jnp.asarray(Xw), jnp.asarray(bv), jnp.asarray(val), key,
@@ -285,14 +312,12 @@ class LoopCloser:
         if self.estimator is not None and jump >= LOOSE_BA_MIN_JUMP:
             span = sorted(k for k in m.keyframes if match_kf <= k <= kfid)
             if len(span) >= 3:
-                saved = dict(m.covis.get(kfid, {}))
-                try:
-                    m.covis[kfid] = {k: 10_000 for k in span[-62:] if k != kfid}
-                    self.estimator.local_ba_with_caps(
-                        m, kfid, max_kfs=64, max_lms=8192, max_obs=32768,
-                        max_iters=5)
-                finally:
-                    m.covis[kfid] = saved
+                # whole-span sweep (overlapping dense windows, oldest first,
+                # loop KF gauge-fixed) — the reference's looseBA covers the
+                # entire [loop KF, new KF] range, optimizer.cpp:995-1024
+                self.estimator.windowed_ba(
+                    m, span, max_kfs=64, max_lms=8192, max_obs=32768,
+                    max_iters=5)
                 self._recompute_landmarks(m)
 
         return LoopClosureEvent(
@@ -444,14 +469,25 @@ class LoopCloser:
     # ------------------------------------------------------------------
     def _recompute_landmarks(self, m: MapStore):
         """Anchored landmarks follow their anchor keyframes: rebuild world
-        positions from (anchor pose, bearing, inverse depth)."""
+        positions from (anchor pose, bearing, inverse depth). Vectorized —
+        one pose inversion per anchor KF, one einsum over all landmarks
+        (this runs at every loop closure; a per-landmark Python loop costs
+        tens of host ms at map scale)."""
         ids = np.nonzero(m.lm_valid & m.lm_is3d)[0]
-        for lm in ids:
-            a = int(m.lm_anchor[lm])
-            kf = m.keyframes.get(a)
-            if kf is None:
-                continue
-            T_wa = np.linalg.inv(kf.T_cw.astype(np.float64))
-            Xa = m.lm_bearing[lm] / max(float(m.lm_lam[lm]), 1e-9)
-            m.lm_pos[lm] = (T_wa[:3, :3] @ Xa + T_wa[:3, 3]).astype(np.float32)
+        if len(ids) == 0:
+            return
+        anchors = m.lm_anchor[ids]
+        kf_ids = np.unique(anchors)
+        live = np.asarray([int(k) in m.keyframes for k in kf_ids])
+        T_wa = np.tile(np.eye(4), (len(kf_ids), 1, 1))
+        for i in np.nonzero(live)[0]:
+            T_wa[i] = np.linalg.inv(
+                m.keyframes[int(kf_ids[i])].T_cw.astype(np.float64))
+        idx = np.searchsorted(kf_ids, anchors)
+        keep = live[idx]
+        ids, idx = ids[keep], idx[keep]
+        Xa = m.lm_bearing[ids] / np.maximum(m.lm_lam[ids][:, None], 1e-9)
+        m.lm_pos[ids] = (
+            np.einsum("nij,nj->ni", T_wa[idx, :3, :3], Xa) + T_wa[idx, :3, 3]
+        ).astype(np.float32)
         m._device_dirty = True

@@ -112,6 +112,27 @@ class SlamSystem:
             self.T_rl = SE3(jnp.eye(3, dtype=jnp.float32),
                             jnp.asarray([-baseline, 0.0, 0.0], jnp.float32))
 
+        # bdo_undist: undistort-remap incoming images (reference applies
+        # rectifyImage at image intake when bdo_undist and no stereo rect,
+        # ov2slam.cpp:66-71, :241-259); afterwards both cameras are treated
+        # as distortion-free with their original K
+        self._undistorted = False
+        if (self.rect_maps is None and p.bdo_undist
+                and np.abs([p.k1l, p.k2l, p.p1l, p.p2l,
+                            p.k1r, p.k2r, p.p1r, p.p2r]).max() > 1e-12):
+            g_l = cam_mod.compute_undist_rect_map(self.cam_l)
+            if p.stereo:
+                g_r = cam_mod.compute_undist_rect_map(self.cam_r)
+                self.rect_maps = (jnp.asarray(g_l), jnp.asarray(g_r))
+            else:
+                self.rect_maps = (jnp.asarray(g_l),)
+            self.cam_l = cam_mod.camera_with_intrinsics(
+                self.cam_l, np.asarray(self.cam_l.K), zero_dist=True)
+            if p.stereo:
+                self.cam_r = cam_mod.camera_with_intrinsics(
+                    self.cam_r, np.asarray(self.cam_r.K), zero_dist=True)
+            self._undistorted = True
+
         # rectified-row geometry? (rectification performed, or the input is
         # born-rectified: zero distortion + pure x-baseline extrinsics) —
         # gates the SAD line-search stereo prior, which the reference uses
@@ -119,16 +140,29 @@ class SlamSystem:
         pure_baseline = (
             np.abs(np.asarray(self.T_rl.R) - np.eye(3)).max() < 1e-6
             and np.abs(np.asarray(self.T_rl.t)[1:]).max() < 1e-6)
-        zero_dist = np.abs([p.k1l, p.k2l, p.k1r, p.k2r]).max() < 1e-9
+        zero_dist = (self._undistorted
+                     or np.abs([p.k1l, p.k2l, p.k1r, p.k2r]).max() < 1e-9)
+        rectified = self.rect_maps is not None and not self._undistorted
         self._rows_aligned = bool(p.stereo and (
-            self.rect_maps is not None or (pure_baseline and zero_dist)))
+            rectified or (pure_baseline and zero_dist)))
 
+        import warnings
         if p.use_dogleg or p.use_subspace_dogleg:
-            import warnings
             warnings.warn(
                 "use_dogleg/use_subspace_dogleg are not implemented: the "
                 "device solver is Levenberg-Marquardt (trust-region damping); "
                 "the flags are ignored", stacklevel=2)
+        if not p.do_klt or not p.klt_use_prior:
+            warnings.warn(
+                "do_klt=0 / klt_use_prior=0 are not supported: the fused "
+                "tracking step always runs prior-seeded forward-backward KLT "
+                "(reference: visual_front_end.cpp:161-187); the flags are "
+                "ignored", stacklevel=2)
+        if p.use_nonmonotic_step:
+            warnings.warn(
+                "use_nonmonotic_step is not implemented in the device LM "
+                "solver (monotone accept/reject only); the flag is ignored",
+                stacklevel=2)
 
         self.kp_cap = p.kp_cap
         self.logger = TrajectoryLogger()
@@ -141,7 +175,7 @@ class SlamSystem:
         """Full pipeline reset (reference: SlamManager::reset,
         ov2slam.cpp:427-454)."""
         p = self.params
-        self.map = MapStore(p.lm_capacity)
+        self.map = MapStore(p.lm_capacity, kf_capacity=p.kf_capacity)
         # 3 workers: per-frame stats fetches must not queue behind the big
         # keyframe-bundle / BA-result fetches (each can wait tens of ms on
         # the in-order device queue)
@@ -195,6 +229,12 @@ class SlamSystem:
     def _cur_pyr(self):
         return self.fe_state.pyr
 
+    def _key(self, i: int):
+        """RANSAC PRNG key. bdo_random=0 pins every draw to a fixed key
+        (the reference passes bdo_random into OpenGV's RANSAC to choose
+        randomized vs deterministic sampling, multi_view_geometry.cpp:207)."""
+        return jax.random.PRNGKey(i if self.params.bdo_random else 0)
+
     def _sync_pose_to_device(self):
         """Push the host pose (after BA writeback) into device state."""
         self.fe_state = self.fe_state._replace(
@@ -238,10 +278,7 @@ class SlamSystem:
                     img_u8, self.kp_cap, p.nklt_pyr_lvl,
                     p.use_clahe, p.fclahe_val)
                 self._initialize_stereo(iml, imr, time)
-                T_wkf = None
-                if self.cur_kfid in self.map.keyframes:
-                    T_wkf = np.linalg.inv(self.map.keyframes[self.cur_kfid].T_cw)
-                self.logger.add(time, self.T_wc(), True, self.cur_kfid, T_wkf)
+                self._log_pose(time, True)
                 return self.T_wc()
 
             lm_pos, lm_is3d = self.map.device_landmarks()
@@ -284,6 +321,12 @@ class SlamSystem:
         T_wkf = None
         if self.cur_kfid in self.map.keyframes:
             T_wkf = np.linalg.inv(self.map.keyframes[self.cur_kfid].T_cw)
+        elif (self._pending_kf is not None
+              and self._pending_kf["kfid"] == self.cur_kfid):
+            # the KF record commits KF_COMMIT_LAG frames after dispatch; use
+            # its snapshot pose so frames finalized inside the lag window log
+            # a real rel-to-KF pose instead of identity (advisor r2 #3)
+            T_wkf = np.linalg.inv(self._pending_kf["T_cw"].astype(np.float64))
         self.logger.add(time, self.T_wc(), is_kf, self.cur_kfid, T_wkf)
 
     def _finalize_frame(self, stats, iml, imr, time, allow_kf=True,
@@ -411,11 +454,7 @@ class SlamSystem:
                     self._create_keyframe(iml, imr_last, t, defer=False)
             else:
                 self.frames_since_kf += 1
-            T_wkf = None
-            if self.cur_kfid in self.map.keyframes:
-                T_wkf = np.linalg.inv(self.map.keyframes[self.cur_kfid].T_cw)
-            self.logger.add(t, self.T_wc(), is_last and need_kf,
-                            self.cur_kfid, T_wkf)
+            self._log_pose(t, is_last and need_kf)
         return self.T_wc()
 
     def flush(self):
@@ -505,7 +544,7 @@ class SlamSystem:
         Xw = lm_pos[slot]
         focal = float(self.cam_l.fx + self.cam_l.fy) * 0.5
         T_est, inl, n_in, okflag = mvg.p3p_ransac(
-            Xw, kps.bv, mask, jax.random.PRNGKey(self.frame_id),
+            Xw, kps.bv, mask, self._key(self.frame_id),
             err_th_norm=self.params.fransac_err / focal, n_hyps=512)
         pnp = pnp_mod.pnp_robust_then_l2(
             fe_mod.calib_of(self.cam_l), T_est, Xw, kps.unpx, inl,
@@ -529,13 +568,15 @@ class SlamSystem:
         temporal triangulation, and PnP tracking thereafter."""
         p = self.params
         self.frame_id += 1
-        img_u8 = jax.device_put(np.ascontiguousarray(im).astype(np.uint8))
+        if self.rect_maps is not None:     # bdo_undist mono remap path
+            im = self._rectify(im, 0)
+        img_u8 = _to_device_u8(im)
 
         with self.prof.scope("0.Full-Front_End"):
             if self.fe_state is None:
                 self.fe_state = fe_mod.init_fe_state(
-                    np.asarray(im, np.uint8), self.kp_cap, p.nklt_pyr_lvl,
-                    p.use_clahe, p.fclahe_val)
+                    np.asarray(im).astype(np.uint8), self.kp_cap,
+                    p.nklt_pyr_lvl, p.use_clahe, p.fclahe_val)
                 self._create_keyframe(im, None, time, run_ba=False, stereo=False)
                 self.logger.add(time, self.T_wc(), True, self.cur_kfid, None)
                 return self.T_wc()
@@ -652,7 +693,7 @@ class SlamSystem:
             return False
         res = mvg.essential_ransac(
             jnp.asarray(bv0), jnp.asarray(kp_bv), jnp.asarray(ok),
-            jax.random.PRNGKey(self.frame_id),
+            self._key(self.frame_id),
             err_th=self.params.fransac_err / float(0.5 * (self.cam_l.fx + self.cam_l.fy)),
             n_hyps=512)
         if not bool(res.success) or int(res.n_inliers) < 0.5 * ok.sum():
@@ -874,17 +915,28 @@ class SlamSystem:
         if tnew.any():
             slots = np.nonzero(tnew)[0]
             ids = k_lmid[slots]
-            self.map.set_positions(
-                ids, tt_Xw[slots], anchor_kf=anc_first[slots],
-                bearings=anc_bv[slots],
-                lams=1.0 / np.maximum(tt_da[slots], 1e-6))
+            # commit only landmarks whose anchor record + keypoint slot still
+            # exist (advisor r2 #2: anchoring to a dead/culled KF leaves the
+            # landmark invisible to inverse-depth BA with no is3d mirror)
+            keep = np.zeros(len(slots), bool)
+            anchor_marks = []
             for akf in np.unique(anc_first[slots]):
                 arec = self.map.keyframes.get(int(akf))
                 if arec is None:
                     continue
                 asel = anc_first[slots] == akf
                 aslots = arec.kp_slots_of(ids[asel])
-                arec.is3d[aslots[aslots >= 0]] = True
+                ok2 = aslots >= 0
+                keep[np.nonzero(asel)[0][ok2]] = True
+                anchor_marks.append((arec, aslots[ok2]))
+            if keep.any():
+                ks = slots[keep]
+                self.map.set_positions(
+                    k_lmid[ks], tt_Xw[ks], anchor_kf=anc_first[ks],
+                    bearings=anc_bv[ks],
+                    lams=1.0 / np.maximum(tt_da[ks], 1e-6))
+                for arec, aslots in anchor_marks:
+                    arec.is3d[aslots] = True
 
         # ---- record keyframe ----
         sl = np.clip(k_lmid, 0, self.map.cap - 1)
@@ -1029,6 +1081,12 @@ class SlamSystem:
                 ev = self.loopcloser.process_kf(self.map, kfid)
             if ev is not None:
                 self.last_loop_event = ev
+                # discard any in-flight local BA: its solve predates the
+                # loop correction and writing it back would overwrite the
+                # corrected poses/landmarks of the BA window (the reference
+                # aborts in-flight local BA on loop closure via
+                # bstop_localba_, optimizer.cpp:2334-2344)
+                self._pending_ba = None
                 # the query KF pose may have been corrected
                 self._apply_pose_correction(T_old, rec.T_cw)
                 self._refresh_kp_3d_flags()

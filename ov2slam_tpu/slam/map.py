@@ -63,8 +63,14 @@ class KeyframeRecord:
 class MapStore:
     """Host map with device landmark arenas."""
 
-    def __init__(self, lm_capacity: int = 1 << 16, dtype=np.float32):
+    def __init__(self, lm_capacity: int = 1 << 16, dtype=np.float32,
+                 kf_capacity: int = 1 << 11):
         self.cap = lm_capacity
+        # planning ceiling for keyframe count (SlamParams.kf_capacity):
+        # sizes the pose-graph padding expectations; exceeding it is legal
+        # (the KF registry is a host dict) but warned once
+        self.kf_capacity = kf_capacity
+        self._kf_cap_warned = False
         # landmark arenas (host numpy; device mirrors pushed on demand)
         self.lm_pos = np.zeros((lm_capacity, 3), dtype)
         self.lm_lam = np.ones((lm_capacity,), dtype)        # inverse depth
@@ -240,6 +246,13 @@ class MapStore:
         self.keyframes[rec.kfid] = rec
         self.covis.setdefault(rec.kfid, {})
         self.next_kf_id = max(self.next_kf_id, rec.kfid + 1)
+        if len(self.keyframes) > self.kf_capacity and not self._kf_cap_warned:
+            self._kf_cap_warned = True
+            import warnings
+            warnings.warn(
+                f"keyframe count exceeded kf_capacity={self.kf_capacity}; "
+                "pose-graph problems will pad past the planned ceiling "
+                "(raise kf_capacity to silence)", stacklevel=2)
         # register observations
         for slot in np.nonzero(rec.valid & (rec.lmid >= 0))[0]:
             lmid = int(rec.lmid[slot])

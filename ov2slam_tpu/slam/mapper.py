@@ -95,6 +95,12 @@ def sad_line_prior(
     sads = jnp.stack(
         [jnp.mean(jnp.abs(strip[:, :, s:s + win] - tmpl), axis=(1, 2))
          for s in range(max_disp + 1)], axis=1)          # (N, max_disp+1)
+    # a window centered right of the keypoint's x means negative disparity —
+    # the reference's leftward-only scan (feature_tracker.cpp:140-206) never
+    # produces one, and KLT can lock onto it near the left border where sx
+    # clamps to 0 (advisor r2 #4); mask those shifts out of the argmin
+    centers = sx[:, None] + jnp.arange(max_disp + 1)[None, :] + half
+    sads = jnp.where(centers <= ix[:, None], sads, jnp.inf)
     best = jnp.argmin(sads, axis=1)
     x_best = (sx + best + half).astype(left_img.dtype)
     return x_best, jnp.min(sads, axis=1)
