@@ -178,6 +178,10 @@ class SlamParams:
     # lower link latency and can run shallower.
     pipeline_depth: int = 6
     kf_capacity: int = 1 << 11
+    # Multi-chip: shard every BA solve over an n_devices mesh
+    # (parallel.sharded.solve_ba_sharded — observation-parallel normal
+    # equations psum'd over ICI). 0/1 = single device.
+    n_devices: int = 0
     dtype: str = "float32"
     # Global matmul precision. TPU MXU default is bfloat16 inputs, which is
     # fine for image filtering but silently degrades every geometry matmul
@@ -309,7 +313,9 @@ class SlamParams:
             do_full_ba=b("do_full_ba"),
             kp_capacity=int(_get(d, "kp_capacity", 0)),
             lm_capacity=int(_get(d, "lm_capacity", 1 << 14)),
+            kf_capacity=int(_get(d, "kf_capacity", 1 << 11)),
             async_ba=b("async_ba", bool(int(_get(d, "force_realtime", 0)))),
             pipeline_depth=int(_get(d, "pipeline_depth", 6)),
+            n_devices=int(_get(d, "n_devices", 0)),
             matmul_precision=str(_get(d, "matmul_precision", "highest")),
         )

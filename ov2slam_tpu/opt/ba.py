@@ -206,7 +206,15 @@ def _lm_run(
     th2_stereo: float,
     optimize_landmarks: bool,
     lam0: float,
+    psum_axis: Optional[str] = None,
 ) -> BAResult:
+    """One robust-or-L2 LM run. With ``psum_axis`` set the function runs
+    inside shard_map with the observation arrays sharded over that mesh
+    axis: normal equations and costs are psum-accumulated over ICI, every
+    device then executes the identical (replicated) Schur solve, and the
+    returned obs_inlier covers only the local shard (reassembled by the
+    caller's out_specs). All LM accept/reject decisions key off the global
+    cost, so devices stay in lockstep."""
     dt = p.t.dtype
     F = p.R.shape[0]
     L = p.lam.shape[0]
@@ -260,13 +268,19 @@ def _lm_run(
         if invdepth:
             W = W.at[p.obs_lm, anc_idx].add(jnp.einsum("oij,oik->ojk", Ja, Jl))
 
+        if psum_axis is not None:
+            # accumulate the per-shard normal equations over the mesh
+            Hpp, bp, Hll, bl, W, cost = jax.tree.map(
+                lambda x: jax.lax.psum(x, psum_axis),
+                (Hpp, bp, Hll, bl, W, cost))
         return Hpp, bp, Hll, bl, W, cost
 
     def eval_cost(R, t, Xw, lam):
         r, _, _, _, pos = _residuals_all(p, R, t, Xw, lam, invdepth)
         chi2 = jnp.sum(r * r, axis=-1)
         th2 = jnp.where(p.obs_right, th2_stereo, th2_mono)
-        return _cost(p, r, p.obs_valid.astype(dt), chi2, th2, rob)
+        c = _cost(p, r, p.obs_valid.astype(dt), chi2, th2, rob)
+        return jax.lax.psum(c, psum_axis) if psum_axis is not None else c
 
     def solve_step(Hpp, bp, Hll, bl, W, damp):
         # damp landmark blocks + invert

@@ -65,7 +65,8 @@ def _shard_obs(p: ba_mod.BAProblem, mesh: Mesh, axis: str) -> ba_mod.BAProblem:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mesh", "axis", "invdepth", "max_iters"),
+    static_argnames=("mesh", "axis", "invdepth", "max_iters", "robust",
+                     "optimize_landmarks", "l2_refine", "l2_iters"),
 )
 def _solve_ba_sharded_impl(
     p: ba_mod.BAProblem,
@@ -73,16 +74,13 @@ def _solve_ba_sharded_impl(
     axis: str,
     invdepth: bool,
     max_iters: int,
+    robust: bool,
     th2_mono: float,
     th2_stereo: float,
+    optimize_landmarks: bool,
+    l2_refine: bool,
+    l2_iters: int,
 ):
-    dt = p.t.dtype
-    F = p.R.shape[0]
-    L = p.lam.shape[0]
-    nl = 1 if invdepth else 3
-    pose_w = p.pose_opt.astype(dt)
-    lm_w = p.lm_valid.astype(dt)
-
     obs_spec = ba_mod.BAProblem(
         R=P(), t=P(), pose_opt=P(), Xw=P(), anchor=P(), bearing=P(), lam=P(),
         lm_valid=P(),
@@ -92,92 +90,34 @@ def _solve_ba_sharded_impl(
         calib_r=res.Calib(P(), P(), P(), P()),
         T_rl=SE3(P(), P()),
     )
+    out_spec = ba_mod.BAResult(
+        R=P(), t=P(), Xw=P(), lam=P(), obs_inlier=P(axis),
+        cost0=P(), cost=P(), n_iters=P())
 
     def body(p_sh: ba_mod.BAProblem):
-        """Runs on every device with its local observation shard."""
-
-        def build(R, t, Xw, lam):
-            r, J_obs, J_anc, J_lm, pos = ba_mod._residuals_all(
-                p_sh, R, t, Xw, lam, invdepth)
-            if invdepth:
-                J_anc = ba_mod._anchor_jacobian_fix(p_sh, R, t, lam, J_anc)
-            chi2 = jnp.sum(r * r, axis=-1)
-            th2 = jnp.where(p_sh.obs_right, th2_stereo, th2_mono)
-            sw = res.huber_weight(chi2, th2)
-            w = p_sh.obs_valid.astype(dt) * sw
-            anc_idx = p_sh.anchor[p_sh.obs_lm] if invdepth else p_sh.obs_kf
-            Jo = J_obs * (w * pose_w[p_sh.obs_kf])[:, None, None]
-            Ja = J_anc * (w * pose_w[anc_idx])[:, None, None]
-            Jl = J_lm * (w * lm_w[p_sh.obs_lm])[:, None, None]
-            rw = r * w[:, None]
-
-            Hpp = jnp.zeros((F, F, 6, 6), dt)
-            Hpp = Hpp.at[p_sh.obs_kf, p_sh.obs_kf].add(
-                jnp.einsum("oij,oik->ojk", Jo, Jo))
-            bp = jnp.zeros((F, 6), dt).at[p_sh.obs_kf].add(
-                jnp.einsum("oij,oi->oj", Jo, rw))
-            if invdepth:
-                Hpp = Hpp.at[anc_idx, anc_idx].add(jnp.einsum("oij,oik->ojk", Ja, Ja))
-                Hpp = Hpp.at[p_sh.obs_kf, anc_idx].add(jnp.einsum("oij,oik->ojk", Jo, Ja))
-                Hpp = Hpp.at[anc_idx, p_sh.obs_kf].add(jnp.einsum("oij,oik->ojk", Ja, Jo))
-                bp = bp.at[anc_idx].add(jnp.einsum("oij,oi->oj", Ja, rw))
-            Hll = jnp.zeros((L, nl, nl), dt).at[p_sh.obs_lm].add(
-                jnp.einsum("oij,oik->ojk", Jl, Jl))
-            bl = jnp.zeros((L, nl), dt).at[p_sh.obs_lm].add(
-                jnp.einsum("oij,oi->oj", Jl, rw))
-            W = jnp.zeros((L, F, 6, nl), dt).at[p_sh.obs_lm, p_sh.obs_kf].add(
-                jnp.einsum("oij,oik->ojk", Jo, Jl))
-            if invdepth:
-                W = W.at[p_sh.obs_lm, anc_idx].add(jnp.einsum("oij,oik->ojk", Ja, Jl))
-
-            th = jnp.sqrt(th2)
-            rho = jnp.where(chi2 <= th2, chi2, 2.0 * th * jnp.sqrt(chi2) - th2)
-            cost = jnp.sum(rho * p_sh.obs_valid.astype(dt))
-
-            # --- the collective: accumulate over the observation shards ---
-            return jax.tree.map(
-                lambda x: jax.lax.psum(x, axis),
-                (Hpp, bp, Hll, bl, W, cost))
-
-        def solve_step(Hpp, bp, Hll, bl, W, damp):
-            eyeL = jnp.eye(nl, dtype=dt)
-            diag_ok = jnp.diagonal(Hll, axis1=-2, axis2=-1).sum(-1) > 1e-10
-            Hll_d = Hll + damp * eyeL * jnp.maximum(
-                jnp.abs(jnp.diagonal(Hll, axis1=-2, axis2=-1))[..., None], 1e-6)
-            Hll_inv = jnp.linalg.inv(Hll_d + (~diag_ok)[:, None, None] * eyeL)
-            Hll_inv = Hll_inv * diag_ok[:, None, None]
-            WHinv = jnp.einsum("lfin,lnm->lfim", W, Hll_inv)
-            S = Hpp - jnp.einsum("lfim,lgjm->fgij", WHinv, W)
-            b_red = bp - jnp.einsum("lfim,lm->fi", WHinv, bl)
-            Sf = S.transpose(0, 2, 1, 3).reshape(F * 6, F * 6)
-            Sf = Sf + jnp.diag(damp * jnp.maximum(jnp.abs(jnp.diag(Sf)), 1e-6))
-            Sf = Sf + jnp.diag(jnp.repeat(1.0 - pose_w, 6))
-            bf = b_red.reshape(F * 6) * jnp.repeat(pose_w, 6)
-            dxp = -jnp.linalg.solve(Sf, bf).reshape(F, 6) * pose_w[:, None]
-            Wt_dx = jnp.einsum("lfim,fi->lm", W, dxp)
-            dl = jnp.einsum("lnm,lm->ln", Hll_inv, -bl - Wt_dx) * lm_w[:, None]
-            return dxp, dl
-
-        R, t, Xw, lam = p_sh.R, p_sh.t, p_sh.Xw, p_sh.lam
-        damp = jnp.asarray(1e-4, dt)
-        cost0 = None
-        for _ in range(max_iters):
-            Hpp, bp, Hll, bl, W, cost = build(R, t, Xw, lam)
-            if cost0 is None:
-                cost0 = cost
-            dxp, dl = solve_step(Hpp, bp, Hll, bl, W, damp)
-            T = lie.se3_boxplus_left(SE3(R, t), dxp)
-            R, t = T.R, T.t
-            if invdepth:
-                lam = lam + dl[:, 0]
-            else:
-                Xw = Xw + dl
-        _, _, _, _, _, cost_f = build(R, t, Xw, lam)
-        return R, t, Xw, lam, cost0, cost_f
+        """Every device runs the FULL single-chip LM solver (_lm_run) on its
+        observation shard; normal equations / costs psum over the mesh, so
+        the trust-region accept/reject, chi2 sweep, and robust->L2 re-solve
+        are bit-for-bit the single-chip algorithm."""
+        out = ba_mod._lm_run(
+            p_sh, p_sh.R, p_sh.t, p_sh.Xw, p_sh.lam, jnp.asarray(robust),
+            invdepth, max_iters, th2_mono, th2_stereo, optimize_landmarks,
+            1e-4, psum_axis=axis)
+        if l2_refine:
+            # mirror ba_mod.solve_ba's robust->L2 composition
+            p2 = p_sh._replace(obs_valid=out.obs_inlier)
+            out2 = ba_mod._lm_run(
+                p2, out.R, out.t, out.Xw, out.lam, jnp.asarray(False),
+                invdepth, l2_iters, th2_mono, th2_stereo, optimize_landmarks,
+                1e-4, psum_axis=axis)
+            out = ba_mod.BAResult(
+                out2.R, out2.t, out2.Xw, out2.lam,
+                out2.obs_inlier & out.obs_inlier,
+                out.cost0, out2.cost, out.n_iters + out2.n_iters)
+        return out
 
     fn = jax.shard_map(
-        body, mesh=mesh, in_specs=(obs_spec,),
-        out_specs=(P(), P(), P(), P(), P(), P()))
+        body, mesh=mesh, in_specs=(obs_spec,), out_specs=out_spec)
     return fn(p)
 
 
@@ -187,15 +127,23 @@ def solve_ba_sharded(
     axis: str = "dp",
     invdepth: bool = True,
     max_iters: int = 5,
+    robust: bool = True,
     th2_mono: float = 5.9915,
     th2_stereo: float = 7.8147,
-):
-    """Observation-sharded Gauss-Newton BA over a device mesh.
+    optimize_landmarks: bool = True,
+    l2_refine: bool = False,
+    l2_iters: int = 5,
+) -> ba_mod.BAResult:
+    """Observation-sharded Schur-LM bundle adjustment over a device mesh —
+    the same algorithm as opt.ba.solve_ba (LM accept/reject, Huber IRLS,
+    chi2/depth outlier sweep, optional robust->L2 re-solve), with the
+    normal-equation build distributed over observation shards and psum'd.
 
     Observation count must divide the mesh size (pad with obs_valid=False)."""
     p = _shard_obs(p, mesh, axis)
     return _solve_ba_sharded_impl(
-        p, mesh, axis, invdepth, max_iters, th2_mono, th2_stereo)
+        p, mesh, axis, invdepth, max_iters, robust, th2_mono, th2_stereo,
+        optimize_landmarks, l2_refine, l2_iters)
 
 
 @functools.partial(jax.jit, static_argnames=("mesh", "axis", "n_hyps"))

@@ -59,11 +59,16 @@ class BAOutcome:
 
 class Estimator:
     def __init__(self, params: SlamParams, calib_l: Calib, calib_r: Calib,
-                 T_rl: SE3, fetcher=None):
+                 T_rl: SE3, fetcher=None, mesh=None):
         self.params = params
         self.calib_l = calib_l
         self.calib_r = calib_r
         self.T_rl = T_rl
+        # multi-chip: when a jax.sharding.Mesh is provided (SlamParams
+        # n_devices > 1), every BA solve routes through the observation-
+        # sharded Schur-LM (parallel.sharded.solve_ba_sharded) — same
+        # algorithm, normal equations psum'd over ICI
+        self.mesh = mesh
         # optional single-worker executor: deferred-BA result fetches run on
         # it so the tracking thread never pays the device->host round trip
         self.fetcher = fetcher
@@ -268,16 +273,38 @@ class Estimator:
     # the host/device pipeline keeps tracking.
     # ------------------------------------------------------------------
 
+    def _solve(self, prob, max_iters: int) -> ba_mod.BAResult:
+        """Dispatch the BA solve: single-device Schur-LM, or the
+        observation-sharded equivalent when a device mesh is configured."""
+        p = self.params
+        if self.mesh is not None:
+            from ov2slam_tpu.parallel import sharded
+            n_dev = int(self.mesh.devices.size)
+            O = int(prob.obs_kf.shape[0])
+            if O % n_dev:      # obs buckets are powers of two >= 1024, so
+                pad = n_dev - O % n_dev     # this only fires on odd meshes
+                z = lambda a: jnp.concatenate(
+                    [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)])
+                prob = prob._replace(
+                    obs_kf=z(prob.obs_kf), obs_lm=z(prob.obs_lm),
+                    obs_px=z(prob.obs_px), obs_right=z(prob.obs_right),
+                    obs_valid=z(prob.obs_valid))
+            return sharded.solve_ba_sharded(
+                prob, self.mesh, invdepth=p.buse_inv_depth,
+                max_iters=max_iters, robust=True,
+                th2_mono=p.robust_mono_th, th2_stereo=p.robust_stereo_th,
+                l2_refine=p.apply_l2_after_robust)
+        return ba_mod.solve_ba(
+            prob, invdepth=p.buse_inv_depth, max_iters=max_iters, robust=True,
+            th2_mono=p.robust_mono_th, th2_stereo=p.robust_stereo_th,
+            l2_refine=p.apply_l2_after_robust)
+
     def begin_local_ba(self, m: MapStore, new_kfid: int, max_iters: int = 5):
         built = self.build_problem(m, new_kfid)
         if built is None:
             return None
         prob, kf_list, lm_ids, meta = built
-        p = self.params
-        result = ba_mod.solve_ba(
-            prob, invdepth=p.buse_inv_depth, max_iters=max_iters, robust=True,
-            th2_mono=p.robust_mono_th, th2_stereo=p.robust_stereo_th,
-            l2_refine=p.apply_l2_after_robust)
+        result = self._solve(prob, max_iters)
         # start the transfers now; they complete while tracking continues
         arrs = (result.R, result.t, result.Xw, result.lam,
                 result.obs_inlier, result.cost0, result.cost)
@@ -307,11 +334,7 @@ class Estimator:
         if built is None:
             return out
         prob, kf_list, lm_ids, meta = built
-        p = self.params
-        result = ba_mod.solve_ba(
-            prob, invdepth=p.buse_inv_depth, max_iters=max_iters, robust=True,
-            th2_mono=p.robust_mono_th, th2_stereo=p.robust_stereo_th,
-            l2_refine=p.apply_l2_after_robust)
+        result = self._solve(prob, max_iters)
         return self._writeback(m, prob, kf_list, lm_ids, meta, result, out)
 
     def _writeback(self, m, prob, kf_list, lm_ids, meta, result, out,
@@ -430,11 +453,7 @@ class Estimator:
             # (Optimizer::structureOnlyBA, optimizer.cpp:2594-2782)
             prob = prob._replace(pose_opt=jnp.zeros_like(prob.pose_opt))
             meta["pose_opt"] = np.zeros_like(meta["pose_opt"])
-        p = self.params
-        result = ba_mod.solve_ba(
-            prob, invdepth=p.buse_inv_depth, max_iters=max_iters, robust=True,
-            th2_mono=p.robust_mono_th, th2_stereo=p.robust_stereo_th,
-            l2_refine=p.apply_l2_after_robust)
+        result = self._solve(prob, max_iters)
         R_np, t_np, Xw_np, lam_np = fetch_np(
             result.R, result.t, result.Xw, result.lam)
         for i, kfid_i in enumerate(kf_list):

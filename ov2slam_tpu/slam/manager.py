@@ -164,6 +164,13 @@ class SlamSystem:
                 "solver (monotone accept/reject only); the flag is ignored",
                 stacklevel=2)
 
+        # multi-chip mesh for sharded BA (n_devices > 1); the mesh is built
+        # once and shared by every Estimator the resets create
+        self.mesh = None
+        if p.n_devices and p.n_devices > 1:
+            from ov2slam_tpu.parallel import sharded
+            self.mesh = sharded.make_mesh(p.n_devices)
+
         self.kp_cap = p.kp_cap
         self.logger = TrajectoryLogger()
         self.prof = Profiler.instance()
@@ -183,7 +190,7 @@ class SlamSystem:
         self._fetcher = ThreadPoolExecutor(max_workers=3)
         self.estimator = Estimator(
             p, fe_mod.calib_of(self.cam_l), fe_mod.calib_of(self.cam_r),
-            self.T_rl, fetcher=self._fetcher)
+            self.T_rl, fetcher=self._fetcher, mesh=self.mesh)
         self.loopcloser = (LoopCloser(p, self.cam_l, self.estimator)
                            if p.buse_loop_closer else None)
         self.last_loop_event = None
