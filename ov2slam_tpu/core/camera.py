@@ -128,13 +128,16 @@ def _undistort_iter(cam: Camera, pd: jnp.ndarray, iters: int = 10) -> jnp.ndarra
         rd = jnp.linalg.norm(pd, axis=-1)
         theta = rd  # init
 
-        def body(_, th):
+        def body(th):
             th2 = th * th
             f = th * (1.0 + th2 * (k1 + th2 * (k2 + th2 * (k3 + th2 * k4)))) - rd
             df = 1.0 + th2 * (3 * k1 + th2 * (5 * k2 + th2 * (7 * k3 + th2 * 9 * k4)))
             return th - f / jnp.maximum(df, 1e-6)
 
-        theta = jax.lax.fori_loop(0, iters, body, theta)
+        # unrolled (static iters): a fori_loop here costs `iters` sequential
+        # device syncs on the per-frame path for a few dozen flops each
+        for _ in range(iters):
+            theta = body(theta)
         scale = jnp.where(rd > 1e-8, jnp.tan(theta) / rd, 1.0)
         return pd * scale[..., None]
 
@@ -142,7 +145,7 @@ def _undistort_iter(cam: Camera, pd: jnp.ndarray, iters: int = 10) -> jnp.ndarra
     # OpenCV-style fixed-point iteration is too slow at image borders)
     k1, k2, p1, p2 = cam.dist[0], cam.dist[1], cam.dist[2], cam.dist[3]
 
-    def body(_, p):
+    def body(p):
         x, y = p[..., 0], p[..., 1]
         r2 = x * x + y * y
         radial = 1.0 + k1 * r2 + k2 * r2 * r2
@@ -160,7 +163,10 @@ def _undistort_iter(cam: Camera, pd: jnp.ndarray, iters: int = 10) -> jnp.ndarra
         dy = (-j10 * fx_ + j00 * fy_) / det
         return jnp.stack([x - dx, y - dy], axis=-1)
 
-    return jax.lax.fori_loop(0, iters, body, pd)
+    p = pd
+    for _ in range(iters):    # unrolled: see fisheye branch note
+        p = body(p)
+    return p
 
 
 # ---------------------------------------------------------------------------

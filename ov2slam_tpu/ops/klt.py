@@ -65,9 +65,12 @@ def _use_pallas() -> bool:
 def _extract_windows(imgs: jnp.ndarray, origin: jnp.ndarray, ws: int
                      ) -> jnp.ndarray:
     """imgs (C, H, W) stacked channels; origin (N, 2) int (x, y) ->
-    (C, N, ws, ws) windows, all channels sliced in one vmapped op.
+    (C, N, ws, ws) windows.
 
-    Out-of-range origins clamp (jax dynamic_slice semantics)."""
+    Out-of-range origins clamp (jax dynamic_slice semantics). (A single
+    flat (N*ws*ws,) gather was tried and is ~2x SLOWER on TPU than the
+    vmapped dynamic_slice while-loop — scattered element gathers don't
+    vectorize; keep the slice form.)"""
     C = imgs.shape[0]
 
     def one(o):
@@ -113,12 +116,15 @@ def _track_level(
     min_eig_th: float,
     prev_grad: Tuple[jnp.ndarray, jnp.ndarray] = None,
     n_chunks: int = 3,
+    compute_err: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One pyramid level of LK, windowed. Returns (new_pts, ok, err).
 
     GN iterations run in `n_chunks` chunks; per-keypoint windows are
     re-extracted at each chunk start so each chunk allows ~±4 px of motion
-    (the pyramid handles larger displacements)."""
+    (the pyramid handles larger displacements). compute_err=False skips the
+    final patch resampling (callers that never read err: upper pyramid
+    levels, the backward FB pass)."""
     H, W = prev_img.shape
     half = (win - 1) / 2.0
     ws = win + 11                      # patch + per-chunk motion + bilinear
@@ -166,50 +172,56 @@ def _track_level(
     iters_per_chunk = max(1, (max_iters + n_chunks - 1) // n_chunks)
     pts = guess
     active = track
+    conv_total = jnp.zeros_like(track)
     nwin = None
     o_next = None
     use_pallas = _use_pallas()
-    for _ in range(n_chunks):
+    for ci in range(n_chunks):
         o_next = origins(pts)
         nwin = _extract_windows(next_img[None], o_next, ws)[0]
         ctr = o_next.astype(dt) + hw
 
-        def gn_delta(p, a):
-            cur = _sample_in_windows(nwin, p - o_next.astype(dt), win)
-            diff = cur - tmpl
-            bx = jnp.sum(diff * gx, axis=-1)
-            by = jnp.sum(diff * gy, axis=-1)
-            # delta = -G^-1 b
-            dx = -(gyy * bx - gxy * by) * inv_det
-            dy = -(-gxy * bx + gxx * by) * inv_det
-            return jnp.where(a[:, None], jnp.stack([dx, dy], axis=-1), 0.0)
-
         if use_pallas:
             from ov2slam_tpu.ops import pallas_lk
-            pts, active = pallas_lk.lk_iterate(
+            pts, active, conv = pallas_lk.lk_iterate(
                 nwin, tmpl, gx, gy, gxx, gxy, gyy, inv_det, o_next, ctr,
                 pts, active, win=win, n_iters=iters_per_chunk, eps=eps,
                 margin=margin)
         else:
+            def gn_delta(p, a):
+                cur = _sample_in_windows(nwin, p - o_next.astype(dt), win)
+                diff = cur - tmpl
+                bx = jnp.sum(diff * gx, axis=-1)
+                by = jnp.sum(diff * gy, axis=-1)
+                # delta = -G^-1 b
+                dx = -(gyy * bx - gxy * by) * inv_det
+                dy = -(-gxy * bx + gxx * by) * inv_det
+                return jnp.where(a[:, None], jnp.stack([dx, dy], axis=-1), 0.0)
+
             def cond(carry):
-                it, p, a = carry
+                it, p, a, cv = carry
                 return (it < iters_per_chunk) & jnp.any(a)
 
             def body(carry):
-                it, p, a = carry
+                it, p, a, cv = carry
                 step = gn_delta(p, a)
                 new_p = p + step
                 conv = jnp.sum(step * step, axis=-1) < eps * eps
                 # pause points that left the window; next chunk re-centers
                 dev = jnp.max(jnp.abs(new_p - ctr), axis=-1)
-                return it + 1, new_p, a & ~conv & (dev <= margin)
+                return (it + 1, new_p, a & ~conv & (dev <= margin),
+                        cv | (a & conv))
 
-            _, pts, _ = jax.lax.while_loop(
-                cond, body, (jnp.asarray(0), pts, active))
-        # reactivate unconverged points for the next (re-centered) chunk
-        step = gn_delta(pts, track)
-        notconv = jnp.sum(step * step, axis=-1) >= eps * eps
-        active = track & notconv
+            _, pts, _, conv = jax.lax.while_loop(
+                cond, body,
+                (jnp.asarray(0), pts, active, jnp.zeros_like(active)))
+        # reactivate only margin-paused (not converged) points for the next
+        # re-centered chunk — the kernel's converged mask replaces the
+        # re-sampled step check the chunk glue used to run (one full patch
+        # sampling per chunk saved)
+        conv_total = conv_total | conv
+        if ci + 1 < n_chunks:
+            active = track & ~conv_total
 
     in_bounds1 = (
         (pts[:, 0] >= half) & (pts[:, 0] < W - half)
@@ -217,8 +229,11 @@ def _track_level(
     )
     ok = track & in_bounds1
 
-    cur = _sample_in_windows(nwin, pts - o_next.astype(dt), win)
-    err = jnp.mean(jnp.abs(cur - tmpl), axis=-1)
+    if compute_err:
+        cur = _sample_in_windows(nwin, pts - o_next.astype(dt), win)
+        err = jnp.mean(jnp.abs(cur - tmpl), axis=-1)
+    else:
+        err = jnp.zeros(pts.shape[0], dt)
     return pts, ok, err
 
 
@@ -234,11 +249,20 @@ def pyr_klt(
     eps: float = 0.01,
     min_eig_th: float = 1e-4,
     prev_grad_pyr: List[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    n_chunks: int = 3,
+    compute_err: bool = True,
 ) -> KLTResult:
     """Pyramidal LK from coarse to fine using `nlevels`+1 pyramid images.
 
     prev_grad_pyr optionally supplies precomputed Scharr gradient pyramids of
-    the template frame (computed once per frame instead of once per call)."""
+    the template frame (computed once per frame instead of once per call).
+
+    Chunk schedule: only the TOP level runs `n_chunks` re-centering chunks —
+    it absorbs the unmodeled motion (each chunk allows ~±4 px at 1/2^nlevels
+    scale). Lower levels start from the upsampled converged estimate (≤ ~1 px
+    guess error) and run a single chunk with the full iteration budget; the
+    error metric is sampled only at level 0 (the only level whose err the
+    caller reads)."""
     scale = 2.0 ** nlevels
     guess = init_pts / scale
     ok = valid
@@ -249,7 +273,9 @@ def pyr_klt(
         pg = None if prev_grad_pyr is None else prev_grad_pyr[lvl]
         guess, ok_l, err = _track_level(
             prev_pyr[lvl], next_pyr[lvl], pl, guess, valid, win, max_iters,
-            eps, min_eig_th, prev_grad=pg
+            eps, min_eig_th, prev_grad=pg,
+            n_chunks=n_chunks if lvl == nlevels else 1,
+            compute_err=compute_err and lvl == 0,
         )
         ok = ok_l if lvl == nlevels else ok & ok_l
         if lvl > 0:
@@ -259,7 +285,7 @@ def pyr_klt(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("nlevels", "win", "max_iters"),
+    static_argnames=("nlevels", "win", "max_iters", "n_chunks"),
 )
 def fb_klt_tracking(
     prev_pyr: Tuple[jnp.ndarray, ...],
@@ -276,6 +302,7 @@ def fb_klt_tracking(
     min_eig_th: float = 1e-4,
     prev_grad_pyr=None,
     next_grad_pyr=None,
+    n_chunks: int = 3,
 ) -> KLTResult:
     """Forward-backward KLT with error + FB-distance gating — the whole of the
     reference's fbKltTracking (feature_tracker.cpp:35-137) as one device call.
@@ -287,14 +314,16 @@ def fb_klt_tracking(
     prev_pyr = list(prev_pyr)
     next_pyr = list(next_pyr)
     fwd = pyr_klt(prev_pyr, next_pyr, prev_pts, prior_pts, valid,
-                  nlevels, win, max_iters, eps, min_eig_th, prev_grad_pyr)
+                  nlevels, win, max_iters, eps, min_eig_th, prev_grad_pyr,
+                  n_chunks=n_chunks)
     good = fwd.status & (fwd.error < max_err)
     # backward pass: level 0 only, seeded at the original positions (the
     # reference's backward call uses maxLevel=0 + OPTFLOW_USE_INITIAL_FLOW
     # with the original kps as the initial guess, feature_tracker.cpp:113-117)
     ngp = None if next_grad_pyr is None else next_grad_pyr[:1]
     bwd = pyr_klt(next_pyr[:1], prev_pyr[:1], fwd.points, prev_pts, good,
-                  0, win, max_iters, eps, min_eig_th, ngp)
+                  0, win, max_iters, eps, min_eig_th, ngp,
+                  n_chunks=min(n_chunks, 2), compute_err=False)
     fb_dist = jnp.linalg.norm(bwd.points - prev_pts, axis=-1)
     ok = good & bwd.status & (fb_dist <= max_fb_dist)
     return KLTResult(points=fwd.points, status=ok, error=fwd.error)

@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ov2slam_tpu.core import lie
+from ov2slam_tpu.core import smallalg
 from ov2slam_tpu.core.lie import SE3
 
 
@@ -105,7 +106,9 @@ def _eight_point(x_a: jnp.ndarray, x_b: jnp.ndarray) -> jnp.ndarray:
     """Essential from >=8 normalized correspondences; (M, 3) each -> (3, 3).
 
     Linear 8-pt with rank-2 + equal-singular-value projection (the essential
-    manifold projection)."""
+    manifold projection). The null vector comes from an unrolled Jacobi eigh
+    of A^T A (9x9) instead of an SVD of A — jnp.linalg.svd lowers to a
+    sequential device while-loop that costs ~ms at RANSAC batch sizes."""
     # rows: [xb*xa, xb*ya, xb, yb*xa, yb*ya, yb, xa, ya, 1] for xa^T E xb = 0
     xa, ya = x_a[:, 0], x_a[:, 1]
     xb, yb = x_b[:, 0], x_b[:, 1]
@@ -113,12 +116,9 @@ def _eight_point(x_a: jnp.ndarray, x_b: jnp.ndarray) -> jnp.ndarray:
         [xa * xb, xa * yb, xa, ya * xb, ya * yb, ya, xb, yb, jnp.ones_like(xa)],
         axis=-1,
     )  # row [i] . vec(E) with E row-major: sum_ij E_ij a_i b_j
-    _, _, vt = jnp.linalg.svd(A, full_matrices=True)
-    E = vt[-1].reshape(3, 3)
+    E = smallalg.smallest_eigvec(A.T @ A).reshape(3, 3)
     # project to the essential manifold: singular values (1, 1, 0)
-    u, s, vt2 = jnp.linalg.svd(E)
-    E = u @ jnp.diag(jnp.asarray([1.0, 1.0, 0.0], E.dtype)) @ vt2
-    return E
+    return smallalg.essential_project(E)
 
 
 def decompose_essential(
@@ -126,7 +126,7 @@ def decompose_essential(
 ) -> SE3:
     """Pick the (R, t) with max points in front of both cameras
     (cv::recoverPose semantics). Returns T_ab with |t| = 1."""
-    u, _, vt = jnp.linalg.svd(E)
+    u, _, vt = smallalg.svd3(E)
     # enforce det +1
     d = jnp.linalg.det(u) * jnp.linalg.det(vt)
     vt = vt * jnp.where(d < 0, -1.0, 1.0)
@@ -199,10 +199,8 @@ def essential_ransac(
         ww = w[:, 0]
         A = jnp.stack([xa * xb, xa * yb, xa * ww, ya * xb, ya * yb, ya * ww,
                        xb * ww, yb * ww, ww], axis=-1)
-        _, _, vt = jnp.linalg.svd(A, full_matrices=True)
-        E = vt[-1].reshape(3, 3)
-        u, s, vt2 = jnp.linalg.svd(E)
-        return u @ jnp.diag(jnp.asarray([1.0, 1.0, 0.0], E.dtype)) @ vt2
+        E = smallalg.smallest_eigvec(A.T @ A).reshape(3, 3)
+        return smallalg.essential_project(E)
 
     E_best = refit()
     err_best = sampson_dist(E_best, x_a, x_b)
@@ -277,13 +275,15 @@ def _solve_quartic(c4, c3, c2, c1, c0):
     c1_ = c1.astype(jnp.complex64)[..., None]
     c0_ = c0.astype(jnp.complex64)[..., None]
 
-    def polish(_, z):
+    def polish(z):
         f = (((c4_ * z + c3_) * z + c2_) * z + c1_) * z + c0_
         df = ((4.0 * c4_ * z + 3.0 * c3_) * z + 2.0 * c2_) * z + c1_
         df = jnp.where(jnp.abs(df) < 1e-12, 1e-12 + 0j, df)
         return z - f / df
 
-    return jax.lax.fori_loop(0, 3, polish, roots)
+    for _ in range(3):     # unrolled (fixed count, per-frame hot path)
+        roots = polish(roots)
+    return roots
 
 
 def p3p_grunert(X: jnp.ndarray, bv: jnp.ndarray) -> Tuple[SE3, jnp.ndarray]:
@@ -329,12 +329,13 @@ def p3p_grunert(X: jnp.ndarray, bv: jnp.ndarray) -> Tuple[SE3, jnp.ndarray]:
     u = roots.real               # (4,)
 
     # Newton-polish the real roots (recovers the f32/complex64 Ferrari error)
-    def polish(_, uu):
+    def polish(uu):
         f = (((G4n * uu + G3n) * uu + G2n) * uu + G1n) * uu + G0n
         df = ((4.0 * G4n * uu + 3.0 * G3n) * uu + 2.0 * G2n) * uu + G1n
         return uu - f / jnp.where(jnp.abs(df) < 1e-9, 1e-9, df)
 
-    u = jax.lax.fori_loop(0, 3, polish, u)
+    for _ in range(3):     # unrolled
+        u = polish(u)
 
     den = 1.0 + u * u - 2.0 * u * r
     s1 = jnp.sqrt(c2 / jnp.maximum(den, 1e-12))
@@ -351,7 +352,7 @@ def p3p_grunert(X: jnp.ndarray, bv: jnp.ndarray) -> Tuple[SE3, jnp.ndarray]:
 
     # Gauss-Newton polish of the depths on the three law-of-cosines
     # constraints (cleans up f32 quartic noise, incl. near-tangential cases)
-    def gn_depths(_, s):
+    def gn_depths(s):
         s1_, s2_, s3_ = s[..., 0], s[..., 1], s[..., 2]
         f1 = s1_ * s1_ + s2_ * s2_ - 2.0 * s1_ * s2_ * r - c2
         f2 = s2_ * s2_ + s3_ * s3_ - 2.0 * s2_ * s3_ * p - a2
@@ -364,11 +365,13 @@ def p3p_grunert(X: jnp.ndarray, bv: jnp.ndarray) -> Tuple[SE3, jnp.ndarray]:
         ], -2)                                     # (..., 3, 3)
         F = jnp.stack([f1, f2, f3], -1)[..., None]  # (..., 3, 1)
         JTJ = jnp.swapaxes(J, -1, -2) @ J + 1e-9 * jnp.eye(3, dtype=s.dtype)
-        step = jnp.linalg.solve(JTJ, jnp.swapaxes(J, -1, -2) @ F)[..., 0]
+        g = (jnp.swapaxes(J, -1, -2) @ F)[..., 0]
+        step = smallalg.solve_spd(JTJ, g)
         return s - step
 
     depths = jnp.stack([s1_all, s2_all, s3_all], axis=-1)
-    depths = jax.lax.fori_loop(0, 4, gn_depths, depths)
+    for _ in range(4):     # unrolled
+        depths = gn_depths(depths)
     s1_all, s2_all, s3_all = depths[..., 0], depths[..., 1], depths[..., 2]
 
     # validity: positive depths + all constraints satisfied after polish
@@ -384,14 +387,12 @@ def p3p_grunert(X: jnp.ndarray, bv: jnp.ndarray) -> Tuple[SE3, jnp.ndarray]:
     def pose_from_depths(d):
         s1_, s2_, s3_ = d[0], d[1], d[2]
         Pc = jnp.stack([bv[0] * s1_, bv[1] * s2_, bv[2] * s3_])  # cam frame
-        # Procrustes: R, t with Pc = R X + t
+        # Procrustes: R, t with Pc = R X + t — quaternion (Davenport) method
+        # on the 3x3 attitude-profile matrix (SVD-free, unrolled)
         cw = jnp.mean(X, axis=0)
         cc = jnp.mean(Pc, axis=0)
-        Hm = (X - cw).T @ (Pc - cc)
-        uu, _, vt = jnp.linalg.svd(Hm)
-        d_ = jnp.linalg.det(vt.T @ uu.T)
-        S = jnp.diag(jnp.stack([jnp.ones((), dt), jnp.ones((), dt), d_]))
-        R = vt.T @ S @ uu.T
+        M = (Pc - cc).T @ (X - cw)     # sum_i b_i a_i^T with b ≈ R a
+        R = smallalg.procrustes_rotation(M)
         t = cc - R @ cw
         return R, t
 
@@ -413,7 +414,7 @@ def refine_pose_gn(
 
     obs = bv[:, :2] / jnp.maximum(bv[:, 2:3], 1e-9)
 
-    def body(_, T):
+    def body(T):
         R, t = T
         Xc = jnp.einsum("ij,nj->ni", R, X) + t
         x, y, z = Xc[:, 0], Xc[:, 1], Xc[:, 2]
@@ -433,12 +434,14 @@ def refine_pose_gn(
         rw = jnp.concatenate([r_u * w, r_v * w], axis=0)
         H = Jw.T @ Jw + 1e-8 * jnp.eye(6, dtype=X.dtype)
         g = Jw.T @ rw
-        dx = -jnp.linalg.solve(H, g)
+        dx = -smallalg.solve_spd(H, g)
         Tn = lie.se3_boxplus_left(SE3(R, t), dx)
         return (Tn.R, Tn.t)
 
-    R, t = jax.lax.fori_loop(0, iters, body, (T_init.R, T_init.t))
-    return SE3(R, t)
+    carry = (T_init.R, T_init.t)
+    for _ in range(iters):     # unrolled
+        carry = body(carry)
+    return SE3(*carry)
 
 
 @functools.partial(jax.jit, static_argnames=("n_hyps",))

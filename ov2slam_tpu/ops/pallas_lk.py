@@ -37,7 +37,7 @@ LANE = 128
 def _lk_kernel(eps2_ref, margin_ref, nwin_ref, tmpl_ref, gx_ref, gy_ref,
                gxx_ref, gxy_ref, gyy_ref, invd_ref, ox_ref, oy_ref,
                ctrx_ref, ctry_ref, px_ref, py_ref, act_ref,
-               out_px_ref, out_py_ref, out_act_ref,
+               out_px_ref, out_py_ref, out_act_ref, out_conv_ref,
                *, win: int, ws: int, n_iters: int):
     eps2 = eps2_ref[0]
     margin = margin_ref[0]
@@ -64,13 +64,13 @@ def _lk_kernel(eps2_ref, margin_ref, nwin_ref, tmpl_ref, gx_ref, gy_ref,
         return jnp.maximum(0.0, 1.0 - jnp.abs(iota - (q + off)))
 
     def cond(carry):
-        it, px, py, act = carry
+        it, px, py, act, conv = carry
         # early exit once every point converged or paused — the common case
         # after ~3-5 iterations; without it the kernel always burns n_iters
         return (it < n_iters) & (jnp.sum(act) > 0.0)
 
     def body(carry):
-        it, px, py, act = carry          # (1, BLK) f32; act as f32 mask
+        it, px, py, act, convacc = carry  # (1, BLK) f32; act as f32 mask
         qx = px - ox                     # window coords of the patch center
         qy = py - oy
         bx = jnp.zeros((1, BLK), jnp.float32)
@@ -99,19 +99,24 @@ def _lk_kernel(eps2_ref, margin_ref, nwin_ref, tmpl_ref, gx_ref, gy_ref,
         npx = px + dx
         npy = py + dy
         conv = (dx * dx + dy * dy) < eps2
+        convf = conv.astype(jnp.float32)
         dev = jnp.maximum(jnp.abs(npx - ctrx), jnp.abs(npy - ctry))
-        still = act * (1.0 - conv.astype(jnp.float32)) * (
-            dev <= margin).astype(jnp.float32)
-        return it + 1, npx, npy, still
+        still = act * (1.0 - convf) * (dev <= margin).astype(jnp.float32)
+        # converged-while-active accumulator: lets the caller reactivate
+        # only margin-paused points for the next re-centered chunk without
+        # re-sampling the patch outside the kernel
+        return it + 1, npx, npy, still, jnp.maximum(convacc, act * convf)
 
     px0 = px_ref[:]
     py0 = py_ref[:]
     act0 = act_ref[:]
-    _, px, py, act = jax.lax.while_loop(
-        cond, body, (jnp.asarray(0, jnp.int32), px0, py0, act0))
+    conv0 = jnp.zeros_like(act0)
+    _, px, py, act, conv = jax.lax.while_loop(
+        cond, body, (jnp.asarray(0, jnp.int32), px0, py0, act0, conv0))
     out_px_ref[:] = px
     out_py_ref[:] = py
     out_act_ref[:] = act
+    out_conv_ref[:] = conv
 
 
 @functools.partial(
@@ -137,7 +142,10 @@ def lk_iterate(
     interpret: bool = False,
 ):
     """Run `n_iters` LK Gauss-Newton iterations for all N keypoints in one
-    Pallas dispatch. Returns (new_pts (N, 2), still_active (N,) bool).
+    Pallas dispatch. Returns (new_pts (N, 2), still_active (N,) bool,
+    converged (N,) bool — points that hit the eps step criterion while
+    active; the caller reactivates only the non-converged for the next
+    re-centered chunk).
 
     eps/margin may be traced scalars (they ride in SMEM)."""
     N, ws, _ = nwin.shape
@@ -161,15 +169,16 @@ def lk_iterate(
         jax.ShapeDtypeStruct((1, BLK), jnp.float32),
         jax.ShapeDtypeStruct((1, BLK), jnp.float32),
         jax.ShapeDtypeStruct((1, BLK), jnp.float32),
+        jax.ShapeDtypeStruct((1, BLK), jnp.float32),
     ]
     kern = functools.partial(_lk_kernel, win=win, ws=ws, n_iters=n_iters)
-    px, py, act = pl.pallas_call(
+    px, py, act, conv = pl.pallas_call(
         kern,
         out_shape=out_shape,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (len(args) - 2),
-        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
         interpret=interpret,
     )(*args)
     new_pts = jnp.stack([px[0], py[0]], axis=-1)
-    return new_pts, act[0] > 0.5
+    return new_pts, act[0] > 0.5, conv[0] > 0.5

@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from ov2slam_tpu.core import lie
+from ov2slam_tpu.core import smallalg
 from ov2slam_tpu.core.lie import SE3
 from ov2slam_tpu.opt import residuals as res
 from ov2slam_tpu.opt.residuals import Calib
@@ -58,38 +59,40 @@ def pnp_lm(
 ) -> PnPResult:
     """LM with diagonal damping; fixed max iteration budget (the reference
     caps at 5 iters / 5 ms, multi_view_geometry.cpp:540-548 — we run 10 cheap
-    device iterations instead)."""
+    device iterations instead).
+
+    The iteration loop is UNROLLED (Python loop with a `done` mask) rather
+    than a lax.while_loop: each while iteration costs a latency-bound device
+    sync on TPU that dwarfs the ~6x6 arithmetic; unrolled, the whole solve
+    fuses into straight-line code (converged iterations become masked
+    no-ops)."""
     dt = Xw.dtype
     w_valid = valid.astype(dt)
     th2 = jnp.asarray(robust_th2, dt)
     rob = jnp.asarray(robust)
 
-    H0, g0, cost0, _, _ = _normal_eqs(calib, T_init, Xw, obs_px, w_valid, th2, rob)
-    lam0 = jnp.asarray(1e-3, dt)
+    _, _, cost0, _, _ = _normal_eqs(calib, T_init, Xw, obs_px, w_valid, th2, rob)
+    lam = jnp.asarray(1e-3, dt)
 
-    def cond(state):
-        it, _, _, _, done = state
-        return (it < max_iters) & ~done
-
-    def step(state):
-        it, T, lam, cost, _ = state
+    T = T_init
+    cost = cost0
+    done = jnp.asarray(False)
+    for _ in range(max_iters):
         H, g, _, _, _ = _normal_eqs(calib, T, Xw, obs_px, w_valid, th2, rob)
         Hd = H + lam * jnp.diag(jnp.diag(H)) + 1e-10 * jnp.eye(6, dtype=dt)
-        dx = -jnp.linalg.solve(Hd, g)
+        dx = -smallalg.solve_spd(Hd, g)
         T_new = lie.se3_boxplus_left(T, dx)
-        _, _, cost_new, _, _ = _normal_eqs(calib, T_new, Xw, obs_px, w_valid, th2, rob)
-        better = cost_new < cost
-        T_out = SE3(
-            jnp.where(better, T_new.R, T.R), jnp.where(better, T_new.t, T.t)
-        )
-        lam_out = jnp.where(better, lam * 0.5, lam * 4.0)
-        cost_out = jnp.where(better, cost_new, cost)
-        small = jnp.sum(dx * dx) < 1e-12
-        return it + 1, T_out, jnp.clip(lam_out, 1e-8, 1e4), cost_out, small
-
-    _, T_fin, _, cost_fin, _ = jax.lax.while_loop(
-        cond, step, (jnp.asarray(0), T_init, lam0, cost0, jnp.asarray(False))
-    )
+        _, _, cost_new, _, _ = _normal_eqs(
+            calib, T_new, Xw, obs_px, w_valid, th2, rob)
+        better = (cost_new < cost) & ~done
+        T = SE3(jnp.where(better, T_new.R, T.R),
+                jnp.where(better, T_new.t, T.t))
+        lam = jnp.where(done, lam,
+                        jnp.clip(jnp.where(better, lam * 0.5, lam * 4.0),
+                                 1e-8, 1e4))
+        cost = jnp.where(better, cost_new, cost)
+        done = done | (jnp.sum(dx * dx) < 1e-12)
+    T_fin, cost_fin = T, cost
 
     r, _, pos = res.reproj_se3(calib, T_fin, Xw, obs_px)
     chi2 = jnp.sum(r * r, axis=-1)

@@ -63,28 +63,53 @@ def render_cache(n_frames: int, cache_dir: str) -> tuple:
     return L, R, gt
 
 
-# configuration tiers: the reference ships {accurate, fast} x {stereo, mono}
-# preset families (parameters_files/accurate|fast/...); the hard bench runs
-# the same tier knobs against the synthetic calibration
-def tier_configs():
+# Configuration tiers are built FROM THE SHIPPED PRESET FILES
+# (parameters_files/{accurate,average,fast}/euroc/euroc_{stereo,mono}.yaml),
+# overriding only the camera calibration with the synthetic rig — so every
+# run here integration-tests a real preset end to end (the reference's
+# euroc_bench.sh drives the same files through the node).
+_CAL_KEYS = ("T_left_right", "body_T_cam0", "body_T_cam1")
+
+
+def preset_config(tier: str, mode: str, **overrides):
     import hard_synthetic as hs
-    base = hs.params_dict(dist=DIST, use_clahe=1)
+    from ov2slam_tpu.config import load_opencv_yaml
+    path = os.path.join(REPO, "parameters_files", tier, "euroc",
+                        f"euroc_{mode}.yaml")
+    d = load_opencv_yaml(path)
+    d = {k: v for k, v in d.items()
+         if not k.startswith("Camera.") and k not in _CAL_KEYS}
+    cal = hs.params_dict(dist=DIST, use_clahe=int(d.get("use_clahe", 1)))
+    d.update({k: v for k, v in cal.items()
+              if k.startswith("Camera.") or k == "T_left_right"})
+    if mode == "mono":
+        d.update(mono=1, stereo=0)
+    else:
+        d.update(mono=0, stereo=1)
+    # the synthetic camera's keypoint-budget / parallax knobs (the presets
+    # carry EuRoC-tuned values for everything else)
+    d.setdefault("nmaxdist", 45)
+    d.update(overrides)
+    d["__preset__"] = os.path.relpath(path, REPO)
+    return d
+
+
+def tier_configs():
     cfgs = {}
-    acc = dict(base)
-    acc.update(buse_loop_closer=1, bdo_track_localmap=1)
-    cfgs["accurate_stereo"] = acc
-    fast = dict(base)
-    fast.update(buse_loop_closer=1, bdo_track_localmap=0,
-                use_fast=1, dop3p=1, nfast_th=10, force_realtime=1)
-    cfgs["fast_stereo"] = fast
-    acc_nolc = dict(acc); acc_nolc.update(buse_loop_closer=0)
-    cfgs["accurate_stereo_nolc"] = acc_nolc
+    cfgs["accurate_stereo"] = preset_config("accurate", "stereo")
+    cfgs["average_stereo"] = preset_config("average", "stereo")
+    cfgs["fast_stereo"] = preset_config("fast", "stereo")
+    cfgs["accurate_stereo_nolc"] = preset_config(
+        "accurate", "stereo", buse_loop_closer=0)
     # rectification path end-to-end: undistort+rectify remap at frame rate
-    rect = dict(acc); rect.update(bdo_stereo_rect=1)
-    cfgs["accurate_stereo_rect"] = rect
-    mono = dict(base)
-    mono.update(mono=1, stereo=0, buse_loop_closer=0, force_realtime=1)
-    cfgs["accurate_mono"] = mono
+    cfgs["accurate_stereo_rect"] = preset_config(
+        "accurate", "stereo", bdo_stereo_rect=1)
+    # mono WITH loop closing — the reference's LoopCloser runs identically
+    # in mono (loop_closer.cpp:65-184) and is where mono scale drift gets
+    # corrected; the sequence revisits its start, so the loop must fire
+    cfgs["accurate_mono"] = preset_config("accurate", "mono",
+                                          force_realtime=1)
+    cfgs["fast_mono"] = preset_config("fast", "mono", force_realtime=1)
     return cfgs
 
 
@@ -95,6 +120,7 @@ def run_config(name, cfg, L, R, gt, max_frames=None):
     import tempfile
 
     n = len(L) if max_frames is None else min(len(L), max_frames)
+    preset = cfg.pop("__preset__", "-")
     params = SlamParams.from_dict(cfg)
     slam = SlamSystem(params)
     mono = bool(cfg.get("mono", 0))
@@ -121,14 +147,16 @@ def run_config(name, cfg, L, R, gt, max_frames=None):
     ate = ate_rmse(est[ok], gt_t[ok], with_scale=mono) \
         if ok.sum() > 10 else float("nan")
     row = {
-        "config": name, "frames": n, "fps": round(n / dt, 2),
+        "config": name, "preset": preset, "frames": n,
+        "fps": round(n / dt, 2),
         "ate_rmse_m": round(float(ate), 4),
         "tracked_pct": round(100.0 * ok.mean(), 1),
         "keyframes": len(slam.map.keyframes),
         "landmarks_3d": slam.map.n_3d(),
         "loop_closed": slam.last_loop_event is not None,
     }
-    # LC-corrected full trajectory, when produced
+    # LC-corrected full trajectory, when produced (mono: Sim(3) alignment,
+    # same as the raw-trajectory metric)
     wlc = os.path.join(out, "ov2slam_full_traj_wlc_opt.txt")
     if os.path.exists(wlc):
         tr2 = np.loadtxt(wlc)
@@ -137,7 +165,8 @@ def run_config(name, cfg, L, R, gt, max_frames=None):
         est2[ts2[ts2 < n]] = tr2[: (ts2 < n).sum(), 1:4]
         ok2 = np.isfinite(est2).all(axis=1)
         if ok2.sum() > 10:
-            row["ate_wlc_opt_m"] = round(float(ate_rmse(est2[ok2], gt_t[ok2])), 4)
+            row["ate_wlc_opt_m"] = round(
+                float(ate_rmse(est2[ok2], gt_t[ok2], with_scale=mono)), 4)
     return row
 
 
@@ -191,7 +220,7 @@ def main():
         rows.append(row)
 
     import jax
-    cols = ["config", "frames", "fps", "ate_rmse_m", "ate_wlc_opt_m",
+    cols = ["config", "preset", "frames", "fps", "ate_rmse_m", "ate_wlc_opt_m",
             "tracked_pct", "keyframes", "landmarks_3d", "loop_closed"]
     with open(args.out, "w") as f:
         f.write("# Hard synthetic benchmark\n\n")

@@ -62,25 +62,28 @@ def _xla_reference(d, win, n_iters, eps, margin):
         return jnp.where(a[:, None], jnp.stack([dx, dy], axis=-1), 0.0)
 
     p, a = d["pts"], d["active"]
+    cv = jnp.zeros_like(a)
     for _ in range(n_iters):
         step = gn_delta(p, a)
         new_p = p + step
         conv = jnp.sum(step * step, axis=-1) < eps * eps
         dev = jnp.max(jnp.abs(new_p - ctr), axis=-1)
+        cv = cv | (a & conv)
         a = a & ~conv & (dev <= margin)
         p = new_p
-    return np.asarray(p), np.asarray(a)
+    return np.asarray(p), np.asarray(a), np.asarray(cv)
 
 
 @pytest.mark.parametrize("n_iters", [1, 10])
 def test_pallas_lk_matches_xla(n_iters):
     win, eps, margin = 9, 0.01, 4.0
     d = _setup()
-    p_ref, a_ref = _xla_reference(d, win, n_iters, eps, margin)
-    p_pl, a_pl = pallas_lk.lk_iterate(
+    p_ref, a_ref, c_ref = _xla_reference(d, win, n_iters, eps, margin)
+    p_pl, a_pl, c_pl = pallas_lk.lk_iterate(
         d["nwin"], d["tmpl"], d["gx"], d["gy"], d["gxx"], d["gxy"],
         d["gyy"], d["inv_det"], d["origins"], d["ctr"], d["pts"],
         d["active"], win=win, n_iters=n_iters, eps=eps, margin=margin,
         interpret=True)
     np.testing.assert_allclose(np.asarray(p_pl), p_ref, atol=2e-3)
     assert (np.asarray(a_pl) == a_ref).mean() > 0.95
+    assert (np.asarray(c_pl) == c_ref).mean() > 0.95
