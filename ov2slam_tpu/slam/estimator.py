@@ -387,15 +387,55 @@ class Estimator:
         return out
 
     # ------------------------------------------------------------------
-    def full_ba(self, m: MapStore, max_kfs: int = 64, max_lms: int = 8192,
-                max_obs: int = 32768, max_iters: int = 10) -> BAOutcome:
+    def full_ba(self, m: MapStore, max_kfs: int = 512, max_lms: int = 16384,
+                max_obs: int = 131072, max_iters: int = 12) -> BAOutcome:
         """Final full BA pass (reference: Optimizer::fullBA,
-        optimizer.cpp:1674-2333, invoked from writeResults when do_full_ba).
+        optimizer.cpp:1674-2333, invoked from writeResults when do_full_ba):
+        ONE matrix-free Schur-PCG solve over every keyframe (gauge = the
+        oldest); falls back to overlapping dense-window sweeps only beyond
+        max_kfs keyframes."""
+        return self.span_ba(m, sorted(m.keyframes), max_kfs, max_lms,
+                            max_obs, max_iters)
 
-        The window is every keyframe (capped at max_kfs most-recent for the
-        dense-Schur layout); gauge = oldest keyframe in the window."""
-        return self.windowed_ba(m, sorted(m.keyframes), max_kfs, max_lms,
-                                max_obs, max_iters)
+    def span_ba(self, m: MapStore, kfs, max_kfs: int = 512,
+                max_lms: int = 16384, max_obs: int = 131072,
+                max_iters: int = 12, cg_iters: int = 48) -> BAOutcome:
+        """One global solve over an arbitrary keyframe span (oldest 1-2 KFs
+        fixed as gauge) via the matrix-free Schur-PCG solver
+        (opt/ba_global.py). Used for the final full BA and the post-loop
+        loose BA over the whole [loop KF, new KF] range
+        (optimizer.cpp:995-1024, :1674-2333)."""
+        p = self.params
+        kfs = [k for k in sorted(kfs) if k in m.keyframes]
+        if len(kfs) < 3:
+            return BAOutcome()
+        if len(kfs) > max_kfs:
+            # beyond the global problem capacity: dense-window sweeps
+            return self.windowed_ba(m, kfs, 64, 8192, 32768, max_iters)
+        newest = kfs[-1]
+        ngauge = 1 if p.stereo else 2
+        gauge = set(kfs[:ngauge])
+        saved = dict(m.covis.get(newest, {}))
+        try:
+            # feed the whole span through the window builder: every span KF
+            # gets a synthetic covis score above nmin_covscore (optimized),
+            # gauge KFs get 0 (they re-enter as constant observers)
+            m.covis[newest] = {k: (0 if k in gauge else 10_000)
+                               for k in kfs if k != newest}
+            built = self.build_problem(m, newest, max_kfs, max_lms, max_obs)
+        finally:
+            m.covis[newest] = saved
+        out = BAOutcome()
+        if built is None:
+            return out
+        from ov2slam_tpu.opt import ba_global
+        prob, kf_list, lm_ids, meta = built
+        result = ba_global.solve_ba_global(
+            prob, invdepth=p.buse_inv_depth, max_iters=max_iters,
+            robust=True, th2_mono=p.robust_mono_th,
+            th2_stereo=p.robust_stereo_th, cg_iters=cg_iters,
+            l2_refine=p.apply_l2_after_robust)
+        return self._writeback(m, prob, kf_list, lm_ids, meta, result, out)
 
     def windowed_ba(self, m: MapStore, kfs, max_kfs: int = 64,
                     max_lms: int = 8192, max_obs: int = 32768,

@@ -312,12 +312,11 @@ class LoopCloser:
         if self.estimator is not None and jump >= LOOSE_BA_MIN_JUMP:
             span = sorted(k for k in m.keyframes if match_kf <= k <= kfid)
             if len(span) >= 3:
-                # whole-span sweep (overlapping dense windows, oldest first,
-                # loop KF gauge-fixed) — the reference's looseBA covers the
-                # entire [loop KF, new KF] range, optimizer.cpp:995-1024
-                self.estimator.windowed_ba(
-                    m, span, max_kfs=64, max_lms=8192, max_obs=32768,
-                    max_iters=5)
+                # ONE global Schur-PCG solve over the whole [loop KF, new
+                # KF] span, loop KF gauge-fixed — the reference's looseBA
+                # range, optimizer.cpp:995-1024 (falls back to overlapping
+                # dense-window sweeps only beyond the global capacity)
+                self.estimator.span_ba(m, span, max_iters=6)
                 self._recompute_landmarks(m)
 
         return LoopClosureEvent(

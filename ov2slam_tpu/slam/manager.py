@@ -45,6 +45,34 @@ def _refresh_flags_dev(lmid, valid, lm_valid, lm_is3d):
     return valid & alive, valid & alive & lm_is3d[slot]
 
 
+def _with_rect_roi(cam, grid) -> "Camera":
+    """Camera with its ROI set to the inner rectangle of remap-grid source
+    coords that land inside the raw image (cv::stereoRectify validPixROI /
+    the reference's ROI masks, camera_calibration.cpp:72-75)."""
+    import dataclasses
+    g = np.asarray(grid)
+    Hs, Ws = g.shape[:2]
+    v = ((g[..., 0] >= 0) & (g[..., 0] <= cam.width - 1)
+         & (g[..., 1] >= 0) & (g[..., 1] <= cam.height - 1))
+    rows = np.where(v.mean(axis=1) > 0.5)[0]
+    if len(rows) == 0:
+        return cam
+    y0, y1 = int(rows[0]), int(rows[-1]) + 1
+    sub = v[y0:y1]
+    first = np.argmax(sub, axis=1)
+    last = sub.shape[1] - 1 - np.argmax(sub[:, ::-1], axis=1)
+    x0, x1 = int(first.max()), int(last.min()) + 1
+    fully = v[:, x0:x1].all(axis=1) if x1 > x0 else np.zeros(Hs, bool)
+    ys = np.where(fully)[0]
+    if len(ys):
+        y0, y1 = int(ys[0]), int(ys[-1]) + 1
+    dt = cam.fx.dtype
+    return dataclasses.replace(
+        cam,
+        roi_x0=jnp.asarray(float(x0), dt), roi_y0=jnp.asarray(float(y0), dt),
+        roi_x1=jnp.asarray(float(x1), dt), roi_y1=jnp.asarray(float(y1), dt))
+
+
 def _to_device_u8(img) -> jnp.ndarray:
     """Image (host float/uint8 OR device array, e.g. a rectified frame kept
     on device) -> device uint8, without a host round trip."""
@@ -108,6 +136,11 @@ class SlamSystem:
             self.rect_maps = (jnp.asarray(g_l), jnp.asarray(g_r))
             self.cam_l = cam_mod.camera_with_intrinsics(self.cam_l, K_new, zero_dist=True)
             self.cam_r = cam_mod.camera_with_intrinsics(self.cam_r, K_new, zero_dist=True)
+            # valid-pixel ROI of the rectified view (the reference's ROI
+            # masks, camera_calibration.cpp:72-75): outside it the remap
+            # extrapolates border bands that corrupt detection/tracking
+            self.cam_l = _with_rect_roi(self.cam_l, g_l)
+            self.cam_r = _with_rect_roi(self.cam_r, g_r)
             baseline = float(np.linalg.norm(np.asarray(self.T_rl.t)))
             self.T_rl = SE3(jnp.eye(3, dtype=jnp.float32),
                             jnp.asarray([-baseline, 0.0, 0.0], jnp.float32))
@@ -131,6 +164,9 @@ class SlamSystem:
             if p.stereo:
                 self.cam_r = cam_mod.camera_with_intrinsics(
                     self.cam_r, np.asarray(self.cam_r.K), zero_dist=True)
+            self.cam_l = _with_rect_roi(self.cam_l, g_l)
+            if p.stereo:
+                self.cam_r = _with_rect_roi(self.cam_r, g_r)
             self._undistorted = True
 
         # rectified-row geometry? (rectification performed, or the input is

@@ -398,6 +398,15 @@ def kf_step(
         resp = det_mod.fast_score(img, float(fast_th))
     else:
         resp = det_mod.min_eig_response(img)
+    # confine detection to the camera's valid ROI (after stereo
+    # rectification the image has extrapolated border bands whose smeared
+    # edges attract corners; reference: camera_calibration.cpp:72-75 ROI
+    # masks). No-op when the ROI is the full image.
+    ys = jnp.arange(img.shape[0], dtype=img.dtype)[:, None]
+    xs = jnp.arange(img.shape[1], dtype=img.dtype)[None, :]
+    roi = ((xs >= cam_l.roi_x0) & (xs < cam_l.roi_x1)
+           & (ys >= cam_l.roi_y0) & (ys < cam_l.roi_y1))
+    resp = jnp.where(roi, resp, 0.0)
     det = det_mod.grid_select(resp, kps.px, kps.valid, cellsize, quality_th)
     if detector == "gftt":
         det = det._replace(

@@ -1,0 +1,116 @@
+"""Global matrix-free Schur-PCG BA (opt/ba_global.py) vs the dense solver
+and vs window sweeps."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from ov2slam_tpu.opt import ba as ba_mod
+from ov2slam_tpu.opt import ba_global
+
+from test_opt import make_ba_problem, _pose_err
+
+
+def test_global_matches_dense_invdepth():
+    rng = np.random.default_rng(3)
+    prob, poses_gt, Xw_gt, n_kf, n_lm = make_ba_problem(rng)
+    dense = ba_mod.solve_ba(prob, invdepth=True, max_iters=12)
+    glob = ba_global.solve_ba_global(prob, invdepth=True, max_iters=12,
+                                     l2_refine=False)
+    e_dense = _pose_err(np.asarray(dense.R), np.asarray(dense.t),
+                        poses_gt, n_kf)
+    e_glob = _pose_err(np.asarray(glob.R), np.asarray(glob.t),
+                       poses_gt, n_kf)
+    # both solvers must recover the ground truth; the PCG path may differ in
+    # its exact minimum but not materially
+    assert e_glob.max() < max(2e-3, 2.0 * e_dense.max())
+    assert float(glob.cost) <= 1.2 * float(dense.cost) + 1e-3
+
+
+def test_global_xyz_converges():
+    rng = np.random.default_rng(5)
+    prob, poses_gt, Xw_gt, n_kf, n_lm = make_ba_problem(rng, invdepth=False)
+    glob = ba_global.solve_ba_global(prob, invdepth=False, max_iters=12,
+                                     l2_refine=False)
+    dense = ba_mod.solve_ba(prob, invdepth=False, max_iters=12)
+    e_glob = _pose_err(np.asarray(glob.R), np.asarray(glob.t),
+                       poses_gt, n_kf)
+    e_dense = _pose_err(np.asarray(dense.R), np.asarray(dense.t),
+                        poses_gt, n_kf)
+    # at noise_px=0.5 the optimum itself sits ~1e-2 from gt; require the
+    # PCG path to match the dense solver, not beat the noise floor
+    assert e_glob.max() < max(3e-3, 1.5 * e_dense.max())
+    assert float(glob.cost) <= 1.1 * float(dense.cost) + 1e-3
+
+
+def test_global_gauge_fixed():
+    rng = np.random.default_rng(7)
+    prob, poses_gt, _, n_kf, _ = make_ba_problem(rng)
+    glob = ba_global.solve_ba_global(prob, invdepth=True, max_iters=6,
+                                     l2_refine=False)
+    for i in range(2):   # first two poses are gauge (pose_opt False)
+        np.testing.assert_allclose(np.asarray(glob.R)[i],
+                                   np.asarray(prob.R)[i], atol=1e-7)
+        np.testing.assert_allclose(np.asarray(glob.t)[i],
+                                   np.asarray(prob.t)[i], atol=1e-7)
+
+
+def test_global_l2_refine_drops_outliers():
+    rng = np.random.default_rng(11)
+    prob, poses_gt, _, n_kf, _ = make_ba_problem(rng, noise_px=0.3)
+    # corrupt some observations
+    px = np.asarray(prob.obs_px).copy()
+    valid = np.asarray(prob.obs_valid)
+    idx = np.nonzero(valid)[0][::7]
+    px[idx] += 60.0
+    prob = prob._replace(obs_px=jnp.asarray(px))
+    glob = ba_global.solve_ba_global(prob, invdepth=True, max_iters=10,
+                                     l2_refine=True)
+    inl = np.asarray(glob.obs_inlier)
+    assert (~inl[idx]).mean() > 0.8            # corrupted obs flagged out
+    e = _pose_err(np.asarray(glob.R), np.asarray(glob.t), poses_gt, n_kf)
+    assert e.max() < 5e-3
+
+
+def test_global_beats_window_sweep_on_long_span():
+    """A 24-KF chain solved globally must reach a cost no worse than the
+    overlapping-window sweep (the sweep's sequential anchoring leaves
+    cross-window residue)."""
+    rng = np.random.default_rng(13)
+    prob, poses_gt, _, n_kf, _ = make_ba_problem(
+        rng, n_kf=24, n_lm=300, pose_noise=0.05)
+
+    glob = ba_global.solve_ba_global(prob, invdepth=True, max_iters=15,
+                                     l2_refine=False)
+
+    # emulate the window sweep: 10-KF windows, stride 5, earlier KFs frozen
+    R_cur = np.asarray(prob.R).copy()
+    t_cur = np.asarray(prob.t).copy()
+    lam_cur = np.asarray(prob.lam).copy()
+    win, stride = 10, 5
+    starts = list(range(0, n_kf - win, stride)) + [n_kf - win]
+    for s in starts:
+        popt = np.zeros(prob.R.shape[0], bool)
+        popt[s + (2 if s == 0 else win // 2): s + win] = True
+        p_win = prob._replace(
+            R=jnp.asarray(R_cur), t=jnp.asarray(t_cur),
+            lam=jnp.asarray(lam_cur), pose_opt=jnp.asarray(popt))
+        r = ba_mod.solve_ba(p_win, invdepth=True, max_iters=8)
+        R_cur, t_cur, lam_cur = (np.asarray(r.R), np.asarray(r.t),
+                                 np.asarray(r.lam))
+
+    # evaluate both at the same final robust cost
+    def final_cost(R, t, lam):
+        p_eval = prob._replace(R=jnp.asarray(R), t=jnp.asarray(t),
+                               lam=jnp.asarray(lam))
+        out = ba_mod.solve_ba(p_eval, invdepth=True, max_iters=1)
+        return float(out.cost0)
+
+    c_glob = final_cost(np.asarray(glob.R), np.asarray(glob.t),
+                        np.asarray(glob.lam))
+    c_sweep = final_cost(R_cur, t_cur, lam_cur)
+    assert c_glob <= c_sweep * 1.05
+    e_glob = _pose_err(np.asarray(glob.R), np.asarray(glob.t),
+                       poses_gt, n_kf)
+    e_sweep = _pose_err(R_cur, t_cur, poses_gt, n_kf)
+    assert e_glob.max() <= max(3e-3, 1.2 * e_sweep.max())
