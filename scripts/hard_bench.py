@@ -104,12 +104,15 @@ def tier_configs():
     # rectification path end-to-end: undistort+rectify remap at frame rate
     cfgs["accurate_stereo_rect"] = preset_config(
         "accurate", "stereo", bdo_stereo_rect=1)
+    # preset-faithful mono (the reference's own mono presets ship
+    # buse_loop_closer: 0, parameters_files/*/euroc/euroc_mono.yaml)
+    cfgs["accurate_mono"] = preset_config("accurate", "mono")
+    cfgs["fast_mono"] = preset_config("fast", "mono")
     # mono WITH loop closing — the reference's LoopCloser runs identically
     # in mono (loop_closer.cpp:65-184) and is where mono scale drift gets
     # corrected; the sequence revisits its start, so the loop must fire
-    cfgs["accurate_mono"] = preset_config("accurate", "mono",
-                                          force_realtime=1)
-    cfgs["fast_mono"] = preset_config("fast", "mono", force_realtime=1)
+    cfgs["accurate_mono_lc"] = preset_config("accurate", "mono",
+                                             buse_loop_closer=1)
     return cfgs
 
 

@@ -121,3 +121,44 @@ def test_relocalization_after_kidnap():
     gt = poses_gt[6][:3, 3]
     err = np.linalg.norm(T_reloc[:3, 3] - gt)
     assert err < 0.1, f"relocalization error {err:.3f} m (pose {T_reloc[:3,3]} vs {gt})"
+
+
+def test_mono_loop_closure_corrects_drift():
+    """Monocular loop closing end to end: the LoopCloser runs identically in
+    mono (reference: loop_closer.cpp:65-184 — no stereo gating anywhere in
+    the LC path) and is where mono scale/pose drift gets corrected. The
+    out-and-back world revisits its start; the loop must fire and the
+    LC-corrected relaxed trajectory must stay Sim(3)-accurate."""
+    frames_l, _, poses_gt = render_out_and_back(n_half=50)
+    d = syn.slam_params_dict()
+    d.update(mono=1, stereo=0, buse_loop_closer=1, bdo_track_localmap=0)
+    params = SlamParams.from_dict(d)
+    slam = SlamSystem(params)
+    slam.loopcloser.detector.p_wait = 10
+    slam.loopcloser.detector.min_consecutive = 2
+    slam.loopcloser.detector.min_score = 3.0
+
+    est = []
+    for i, il in enumerate(frames_l):
+        T = slam.process_mono(il, time=i * 0.05)
+        est.append(T.copy())
+    assert slam.initialized, "mono bootstrap failed"
+
+    ev = slam.last_loop_event
+    assert ev is not None, "no mono loop closure fired on an exact revisit"
+    assert ev.match_kf < ev.query_kf
+
+    gt_t = np.stack([T[:3, 3] for T in poses_gt])
+    est_t = np.stack([T[:3, 3] for T in est])
+    err_live = ate_rmse(est_t, gt_t, with_scale=True)
+
+    import os
+    import tempfile
+    out = tempfile.mkdtemp()
+    slam.write_results(out)
+    opt = np.loadtxt(os.path.join(out, "ov2slam_full_traj_wlc_opt.txt"))
+    assert np.isfinite(opt).all()
+    err_opt = ate_rmse(opt[:, 1:4], gt_t, with_scale=True)
+    # corrected trajectory must be accurate and no worse than the live one
+    assert err_opt < 0.08, f"mono wlc_opt Sim(3) ATE {err_opt:.3f}"
+    assert err_opt <= err_live * 1.2 + 1e-3
