@@ -173,8 +173,9 @@ class SlamParams:
     # work. Keyframe decisions lag by up to k frames (the KF itself is
     # created on the newest frame, like the reference under frame dropping).
     # Deeper = higher throughput, higher pose-output latency (k frames =
-    # k/fps seconds): measured 38.6 / 40.5 / 43.7 fps at depth 3 / 4 / 6 on
-    # the tunneled v5e (ATE unchanged). Locally-attached chips have far
+    # k/fps seconds). Round-3 driver measurement at depth 6 on the tunneled
+    # v5e: 42.9 fps (ATE unchanged vs depth 1); the tunnel's 1-30 ms RTT
+    # swings dominate depth sensitivity. Locally-attached chips have far
     # lower link latency and can run shallower.
     pipeline_depth: int = 6
     kf_capacity: int = 1 << 11

@@ -121,16 +121,33 @@ class LoopCandidate:
     query_kf: int
     match_kf: int
     score: float
+    # every (kf, score) member of the winning island — candidates the BoW
+    # actually voted for, used to re-resolve the match if match_kf was
+    # culled from the map
+    island: List[Tuple[int, float]] = field(default_factory=list)
 
 
 @dataclass
 class LCDetector:
     """iBoW-LCD-style loop candidate detection: vote query + island grouping
-    + temporal consistency (lcdetector.h:42-80 parameter semantics)."""
+    + temporal consistency.
 
-    p_wait: int = 30            # KFs to wait before attempting loops (p)
-    island_size: int = 10      # id radius grouping candidates into islands
-    min_score: float = 8.0     # minimum island vote score
+    Parameter defaults follow iBoW-LCD's LCDetectorParams (reference:
+    Thirdparty/ibow_lcd/include/ibow_lcd/lcdetector.h:42-80, which ov2slam
+    uses unmodified, loop_closer.cpp:48): p = 100 images (= keyframes here —
+    ov2slam feeds the detector once per KF), island_size = 20,
+    min_score = 0.3 on min-max-normalized scores. Deviations, documented:
+    `min_consecutive` consecutive consistent islands gate geometric
+    verification (the reference verifies EVERY island candidate with an
+    epipolar check, lcdetector.cc:154-160 — our verification is the heavier
+    device kNN+P3P pipeline, so a cheap 2-query consistency gate stands in);
+    `min_score` is an optional ABSOLUTE island-vote floor, off (0.0) by
+    default. Short-sequence harnesses (tests, the synthetic hard bench)
+    override p_wait/min_consecutive to match their keyframe counts."""
+
+    p_wait: int = 100          # KFs excluded before loop search (iBoW p)
+    island_size: int = 20      # id radius grouping candidates into islands
+    min_score: float = 0.0     # absolute island vote floor (0 = off)
     min_consecutive: int = 2   # consecutive consistent islands required
     # min-max-normalized per-candidate score cut before island grouping
     # (iBoW-LCD filterCandidates, lcdetector.cc:183-204, default 0.3)
@@ -215,5 +232,6 @@ class LCDetector:
         self._last_island = (lo, hi)
         if self._consecutive >= self.min_consecutive:
             kf_best = max(best, key=lambda t: t[1])[0]
-            return LoopCandidate(query_kf=kf_id, match_kf=kf_best, score=score)
+            return LoopCandidate(query_kf=kf_id, match_kf=kf_best,
+                                 score=score, island=list(best))
         return None

@@ -78,13 +78,16 @@ class LoopCloser:
             return None
 
         # resolve the match to a surviving keyframe (culling may have
-        # removed the exact id)
+        # removed the exact id): fall back to the highest-scored SURVIVING
+        # member of the winning island — every island member actually
+        # received BoW votes (unlike a nearest-id substitute, which could
+        # bind the loop to a KF the index never matched)
         match_kf = cand.match_kf
         if match_kf not in m.keyframes:
-            near = [k for k in m.keyframes if abs(k - match_kf) <= 3]
-            if not near:
+            alive = [(k, s) for k, s in cand.island if k in m.keyframes]
+            if not alive:
                 return None
-            match_kf = min(near, key=lambda k: abs(k - match_kf))
+            match_kf = max(alive, key=lambda t: t[1])[0]
         # covisibility rejection (loop_closer.cpp:201-209): a strongly
         # covisible "loop" is just the local map
         if m.covis.get(kfid, {}).get(match_kf, 0) > 10:
@@ -437,7 +440,10 @@ class LoopCloser:
         ej[n] = 0
         mR[n] = Trel[:3, :3].astype(np.float32)
         mt[n] = Trel[:3, 3].astype(np.float32)
-        w[n] = float(len(kf_ids))     # strong loop edge
+        # unit weight, same as the chain edges: the reference adds the loop
+        # factor with no special loss/weighting (optimizer.cpp:2420-2423);
+        # the LM iterations distribute the correction along the chain
+        w[n] = 1.0
         n += 1
 
         prob = pg_mod.PoseGraphProblem(

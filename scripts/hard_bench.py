@@ -30,28 +30,32 @@ sys.path.insert(0, os.path.join(REPO, "tests"))
 DIST = (-0.28, 0.07)
 
 
-def render_cache(n_frames: int, cache_dir: str) -> tuple:
+def render_cache(n_frames: int, cache_dir: str, cam=None) -> tuple:
     """Render (or reuse) the sequence as uint8 memmaps + GT poses."""
     import hard_synthetic as hs
+    if cam is None:
+        cam = hs.CAM_EUROC
     os.makedirs(cache_dir, exist_ok=True)
     meta_p = os.path.join(cache_dir, "meta.json")
     l_p = os.path.join(cache_dir, "left.u8")
     r_p = os.path.join(cache_dir, "right.u8")
     g_p = os.path.join(cache_dir, "gt.npy")
-    H, W = hs.H, hs.W
+    H, W = cam.H, cam.W
     if os.path.exists(meta_p):
         meta = json.load(open(meta_p))
-        if meta.get("n") == n_frames and tuple(meta.get("dist")) == DIST:
+        if (meta.get("n") == n_frames and tuple(meta.get("dist")) == DIST
+                and meta.get("hw", [hs.CAM_EUROC.H, hs.CAM_EUROC.W]) == [H, W]):
             L = np.memmap(l_p, np.uint8, "r", shape=(n_frames, H, W))
             R = np.memmap(r_p, np.uint8, "r", shape=(n_frames, H, W))
             return L, R, np.load(g_p)
-    print(f"rendering {n_frames} frames to {cache_dir} ...", flush=True)
+    print(f"rendering {n_frames} frames ({W}x{H}) to {cache_dir} ...",
+          flush=True)
     L = np.memmap(l_p, np.uint8, "w+", shape=(n_frames, H, W))
     R = np.memmap(r_p, np.uint8, "w+", shape=(n_frames, H, W))
     gt = np.zeros((n_frames, 4, 4))
     t0 = time.time()
     for i, (il, ir, _, T) in enumerate(
-            hs.render_hard_sequence(n_frames, dist=DIST)):
+            hs.render_hard_sequence(n_frames, dist=DIST, cam=cam)):
         L[i] = il.astype(np.uint8)
         R[i] = ir.astype(np.uint8)
         gt[i] = T
@@ -59,7 +63,8 @@ def render_cache(n_frames: int, cache_dir: str) -> tuple:
             print(f"  {i}/{n_frames} ({time.time()-t0:.0f}s)", flush=True)
     L.flush(); R.flush()
     np.save(g_p, gt)
-    json.dump({"n": n_frames, "dist": list(DIST)}, open(meta_p, "w"))
+    json.dump({"n": n_frames, "dist": list(DIST), "hw": [H, W]},
+              open(meta_p, "w"))
     return L, R, gt
 
 
@@ -71,15 +76,18 @@ def render_cache(n_frames: int, cache_dir: str) -> tuple:
 _CAL_KEYS = ("T_left_right", "body_T_cam0", "body_T_cam1")
 
 
-def preset_config(tier: str, mode: str, **overrides):
+def preset_config(tier: str, mode: str, dataset: str = "euroc",
+                  preset_file: str = None, **overrides):
     import hard_synthetic as hs
     from ov2slam_tpu.config import load_opencv_yaml
-    path = os.path.join(REPO, "parameters_files", tier, "euroc",
-                        f"euroc_{mode}.yaml")
+    fname = preset_file or f"{dataset}_{mode}.yaml"
+    path = os.path.join(REPO, "parameters_files", tier, dataset, fname)
     d = load_opencv_yaml(path)
     d = {k: v for k, v in d.items()
          if not k.startswith("Camera.") and k not in _CAL_KEYS}
-    cal = hs.params_dict(dist=DIST, use_clahe=int(d.get("use_clahe", 1)))
+    cam = hs.CAM_KITTI if dataset == "kitti" else hs.CAM_EUROC
+    cal = hs.params_dict(dist=DIST, use_clahe=int(d.get("use_clahe", 1)),
+                         cam=cam)
     d.update({k: v for k, v in cal.items()
               if k.startswith("Camera.") or k == "T_left_right"})
     if mode == "mono":
@@ -87,10 +95,11 @@ def preset_config(tier: str, mode: str, **overrides):
     else:
         d.update(mono=0, stereo=1)
     # the synthetic camera's keypoint-budget / parallax knobs (the presets
-    # carry EuRoC-tuned values for everything else)
+    # carry dataset-tuned values for everything else)
     d.setdefault("nmaxdist", 45)
     d.update(overrides)
     d["__preset__"] = os.path.relpath(path, REPO)
+    d["__cam__"] = dataset
     return d
 
 
@@ -113,6 +122,15 @@ def tier_configs():
     # corrected; the sequence revisits its start, so the loop must fire
     cfgs["accurate_mono_lc"] = preset_config("accurate", "mono",
                                              buse_loop_closer=1)
+    # KITTI-resolution tier (1241x376, fx 718.9, 0.537 m baseline) through
+    # the shipped KITTI seq-00 preset — exercises the wide-aspect padded
+    # shapes end to end
+    cfgs["kitti_stereo"] = preset_config(
+        "accurate", "stereo", dataset="kitti", preset_file="kitti_00-02.yaml")
+    # multi-loop topology: 2 laps => the detector must close the loop on
+    # every revisit pass, and the map must stay bounded across laps
+    cfgs["accurate_stereo_2laps"] = preset_config("accurate", "stereo")
+    cfgs["accurate_stereo_2laps"]["__frames__"] = 2000
     return cfgs
 
 
@@ -124,8 +142,18 @@ def run_config(name, cfg, L, R, gt, max_frames=None):
 
     n = len(L) if max_frames is None else min(len(L), max_frames)
     preset = cfg.pop("__preset__", "-")
+    cfg.pop("__frames__", None)
+    cfg.pop("__cam__", None)
     params = SlamParams.from_dict(cfg)
     slam = SlamSystem(params)
+    if slam.loopcloser is not None:
+        # loop-detector defaults follow iBoW-LCD's EuRoC-scale values
+        # (p = 100 keyframes); this sequence produces ~50 keyframes total,
+        # so scale the exclusion window + consistency gate to match (the
+        # e2e tests do the same, tests/test_loopclosing.py)
+        slam.loopcloser.detector.p_wait = 12
+        slam.loopcloser.detector.island_size = 10
+        slam.loopcloser.detector.min_score = 3.0
     mono = bool(cfg.get("mono", 0))
     t0 = time.time()
     for i in range(n):
@@ -189,14 +217,26 @@ def main():
     from ov2slam_tpu.utils import enable_compilation_cache
     enable_compilation_cache()
 
-    L, R, gt = render_cache(args.frames, args.cache)
+    import hard_synthetic as hs
     cfgs = tier_configs()
     wanted = [c for c in args.configs.split(",") if c] or list(cfgs)
+
+    def tier_cache(cfg):
+        """(L, R, gt) for a tier's camera / frame-count (cached per kind)."""
+        n = int(cfg.get("__frames__", args.frames))
+        camname = cfg.get("__cam__", "euroc")
+        cam = hs.CAM_KITTI if camname == "kitti" else hs.CAM_EUROC
+        suffix = "" if (camname == "euroc" and n == args.frames) \
+            else f"_{camname}_{n}"
+        return render_cache(n, args.cache + suffix, cam)
+
     rows = []
     for name in wanted:
         print(f"== {name} ==", flush=True)
         if args.inproc:
-            row = run_config(name, cfgs[name], L, R, gt)
+            cfg = cfgs[name]
+            L, R, gt = tier_cache(cfg)
+            row = run_config(name, cfg, L, R, gt)
         else:
             # each config in its own subprocess: a transient device failure
             # (the tunneled TPU flakes occasionally) only loses that row

@@ -19,24 +19,46 @@ from __future__ import annotations
 import numpy as np
 import cv2
 
-FX, FY, CX, CY = 458.0, 458.0, 376.0, 240.0
-W, H = 752, 480
-BASELINE = 0.11
+from typing import NamedTuple
+
+
+class CamSpec(NamedTuple):
+    """Synthetic rig geometry: EuRoC-like by default, KITTI-like available
+    for the wide-aspect high-resolution tier."""
+    W: int
+    H: int
+    FX: float
+    FY: float
+    CX: float
+    CY: float
+    BASELINE: float
+
+
+CAM_EUROC = CamSpec(752, 480, 458.0, 458.0, 376.0, 240.0, 0.11)
+# KITTI seq-00 rig (parameters_files/accurate/kitti/kitti_00-02.yaml):
+# 1241x376 @ fx 718.856, 0.537 m baseline
+CAM_KITTI = CamSpec(1241, 376, 718.856, 718.856, 607.1928, 185.2157, 0.537)
+
+FX, FY, CX, CY = CAM_EUROC.FX, CAM_EUROC.FY, CAM_EUROC.CX, CAM_EUROC.CY
+W, H = CAM_EUROC.W, CAM_EUROC.H
+BASELINE = CAM_EUROC.BASELINE
 K_MAT = np.array([[FX, 0, CX], [0, FY, CY], [0, 0, 1]], np.float64)
 
 
-def params_dict(dist=(0.0, 0.0), use_clahe=1):
+def params_dict(dist=(0.0, 0.0), use_clahe=1, cam: CamSpec = CAM_EUROC):
     k1, k2 = dist
     return {
         "Camera.model_left": "pinhole", "Camera.model_right": "pinhole",
-        "Camera.left_nwidth": W, "Camera.left_nheight": H,
-        "Camera.right_nwidth": W, "Camera.right_nheight": H,
-        "Camera.fxl": FX, "Camera.fyl": FY, "Camera.cxl": CX, "Camera.cyl": CY,
+        "Camera.left_nwidth": cam.W, "Camera.left_nheight": cam.H,
+        "Camera.right_nwidth": cam.W, "Camera.right_nheight": cam.H,
+        "Camera.fxl": cam.FX, "Camera.fyl": cam.FY,
+        "Camera.cxl": cam.CX, "Camera.cyl": cam.CY,
         "Camera.k1l": k1, "Camera.k2l": k2, "Camera.p1l": 0.0, "Camera.p2l": 0.0,
-        "Camera.fxr": FX, "Camera.fyr": FY, "Camera.cxr": CX, "Camera.cyr": CY,
+        "Camera.fxr": cam.FX, "Camera.fyr": cam.FY,
+        "Camera.cxr": cam.CX, "Camera.cyr": cam.CY,
         "Camera.k1r": k1, "Camera.k2r": k2, "Camera.p1r": 0.0, "Camera.p2r": 0.0,
         "T_left_right": np.array([
-            [1, 0, 0, BASELINE], [0, 1, 0, 0], [0, 0, 1, 0], [0, 0, 0, 1]],
+            [1, 0, 0, cam.BASELINE], [0, 1, 0, 0], [0, 0, 1, 0], [0, 0, 0, 1]],
             np.float64),
         "mono": 0, "stereo": 1, "slam_mode": 1, "buse_loop_closer": 0,
         "use_clahe": use_clahe, "nmaxdist": 45, "dmaxquality": 0.001,
@@ -80,17 +102,17 @@ class RoomWorld:
     _ray_cache = {}
 
     @classmethod
-    def _rays(cls, dist):
+    def _rays(cls, dist, cam: CamSpec = CAM_EUROC):
         """Per-pixel camera-frame ray directions (pose-independent; the
         distortion inversion is the expensive part, so cache per dist)."""
-        key = tuple(dist)
+        key = (tuple(dist), cam)
         hit = cls._ray_cache.get(key)
         if hit is not None:
             return hit
-        ys, xs = np.meshgrid(np.arange(H, dtype=np.float32),
-                             np.arange(W, dtype=np.float32), indexing="ij")
-        nx = (xs - CX) / FX
-        ny = (ys - CY) / FY
+        ys, xs = np.meshgrid(np.arange(cam.H, dtype=np.float32),
+                             np.arange(cam.W, dtype=np.float32), indexing="ij")
+        nx = (xs - cam.CX) / cam.FX
+        ny = (ys - cam.CY) / cam.FY
         k1, k2 = dist
         if k1 != 0.0 or k2 != 0.0:
             # pixel grid is DISTORTED coords; invert distortion to get the
@@ -106,17 +128,18 @@ class RoomWorld:
         cls._ray_cache[key] = dirs_c
         return dirs_c
 
-    def render(self, T_wc: np.ndarray, dist=(0.0, 0.0)) -> np.ndarray:
+    def render(self, T_wc: np.ndarray, dist=(0.0, 0.0),
+               cam: CamSpec = CAM_EUROC) -> np.ndarray:
         """Render the camera view at T_wc (camera-to-world). dist=(k1, k2)
         applies Brown radial distortion INSIDE the ray model, so the image
         is exactly what a distorted camera with those coefficients sees."""
         R_wc = T_wc[:3, :3].astype(np.float32)
         o = T_wc[:3, 3].astype(np.float32)
         # camera frame: x right, y down, z forward; world z up
-        dirs_w = self._rays(dist) @ R_wc.T
+        dirs_w = self._rays(dist, cam) @ R_wc.T
 
-        img = np.zeros((H, W), np.float32)
-        zbuf = np.full((H, W), np.inf, np.float32)
+        img = np.zeros((cam.H, cam.W), np.float32)
+        zbuf = np.full((cam.H, cam.W), np.inf, np.float32)
         for (p0, n, u, v, uh, vh, tex) in self.planes:
             p0 = p0.astype(np.float32)
             n = n.astype(np.float32)
@@ -180,7 +203,7 @@ def exposure(img: np.ndarray, i: int) -> np.ndarray:
 
 
 def render_hard_sequence(n_frames=1000, seed=0, dist=(-0.28, 0.07),
-                         with_exposure=True):
+                         with_exposure=True, cam: CamSpec = CAM_EUROC):
     """Generator of (img_l, img_r, t, T_wc_gt): distorted, exposure-drifted
     stereo frames around the room loop. Yields lazily — 1000+ frames at
     752x480 would be ~2.9 GB if materialized. The lap count scales with
@@ -188,11 +211,11 @@ def render_hard_sequence(n_frames=1000, seed=0, dist=(-0.28, 0.07),
     world = RoomWorld(seed=seed)
     poses = loop_trajectory(n_frames, laps=1.08 * max(1.0, n_frames / 1000.0))
     T_rl = np.eye(4)
-    T_rl[0, 3] = -BASELINE
+    T_rl[0, 3] = -cam.BASELINE
     T_lr = np.linalg.inv(T_rl)
     for i, T_wc in enumerate(poses):
-        il = world.render(T_wc, dist)
-        ir = world.render(T_wc @ T_lr, dist)
+        il = world.render(T_wc, dist, cam)
+        ir = world.render(T_wc @ T_lr, dist, cam)
         if with_exposure:
             il = exposure(il, i)
             ir = exposure(ir, i)

@@ -276,3 +276,20 @@ def test_tartanair_trajectory_writer(tmp_path):
     np.testing.assert_allclose(rows[0, 6], 1.0)     # identity quat w
     lg.write_tartanair(str(p), kf_only=True)
     assert np.loadtxt(p).shape == (7,)
+
+
+def test_hard_synthetic_kitti_camera():
+    """The hard-world renderer supports the KITTI rig (wide aspect, long
+    focal, 0.537 m baseline) used by the kitti_stereo bench tier."""
+    import hard_synthetic as hs
+    gen = hs.render_hard_sequence(n_frames=200, dist=(-0.1, 0.02),
+                                  cam=hs.CAM_KITTI)
+    il, ir, t, T = next(gen)
+    assert il.shape == (hs.CAM_KITTI.H, hs.CAM_KITTI.W) == ir.shape
+    assert il.std() > 10.0 and ir.std() > 10.0   # textured, not blank
+    # stereo pair really is displaced by the baseline: the right image is
+    # not identical to the left
+    assert np.abs(il - ir).mean() > 1.0
+    d = hs.params_dict(dist=(-0.1, 0.02), cam=hs.CAM_KITTI)
+    assert d["Camera.left_nwidth"] == 1241
+    assert abs(d["T_left_right"][0, 3] - 0.537) < 1e-9
