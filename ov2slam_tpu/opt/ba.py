@@ -289,7 +289,14 @@ def _lm_run(
             jnp.abs(jnp.diagonal(Hll, axis1=-2, axis2=-1))[..., None], 1e-6)
         # guard empty landmarks
         diag_ok = jnp.diagonal(Hll, axis1=-2, axis2=-1).sum(-1) > 1e-10
-        Hll_inv = jnp.linalg.inv(Hll_d + (~diag_ok)[:, None, None] * eyeL)
+        Hll_g = Hll_d + (~diag_ok)[:, None, None] * eyeL
+        if nl == 1:
+            Hll_inv = 1.0 / jnp.where(jnp.abs(Hll_g) < 1e-12, 1e-12, Hll_g)
+        else:
+            # closed-form batched 3x3 inverse (jnp.linalg.inv lowers to a
+            # sequential LU while-loop on TPU)
+            from ov2slam_tpu.core import smallalg
+            Hll_inv = smallalg.inv3(Hll_g)
         Hll_inv = Hll_inv * diag_ok[:, None, None]
 
         # Schur: S = Hpp - W Hll^-1 W^T   (einsum over landmarks -> MXU)
