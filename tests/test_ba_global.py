@@ -114,3 +114,40 @@ def test_global_beats_window_sweep_on_long_span():
                        poses_gt, n_kf)
     e_sweep = _pose_err(R_cur, t_cur, poses_gt, n_kf)
     assert e_glob.max() <= max(3e-3, 1.2 * e_sweep.max())
+
+
+def test_span_ba_on_live_map():
+    """estimator.span_ba (the loose-BA / full-BA path) on a map built by a
+    real SlamSystem run: builds the whole-span problem through the window
+    builder, solves globally, and must not degrade the trajectory."""
+    import sys
+    import os
+    sys.path.insert(0, os.path.dirname(__file__))
+    import synthetic as syn
+    from ov2slam_tpu.config import SlamParams
+    from ov2slam_tpu.slam.manager import SlamSystem
+    from ov2slam_tpu.io.trajectories import ate_rmse
+
+    n = 40
+    L, R, gt = syn.render_sequence(n_frames=n, step=0.05, yaw_rate=0.002)
+    slam = SlamSystem(SlamParams.from_dict(syn.slam_params_dict()))
+    for i in range(n):
+        slam.process_stereo(L[i], R[i], time=i * 0.05)
+    slam.flush()
+    kfs = sorted(slam.map.keyframes)
+    assert len(kfs) >= 5
+
+    # perturb the newest keyframes, then ask span_ba to recover them
+    rng = np.random.default_rng(0)
+    T_true = {k: slam.map.keyframes[k].T_cw.copy() for k in kfs}
+    for k in kfs[len(kfs) // 2:]:
+        slam.map.keyframes[k].T_cw[:3, 3] += \
+            rng.normal(0, 0.01, 3).astype(np.float32)
+
+    out = slam.estimator.span_ba(slam.map, kfs, max_iters=10)
+    assert out.ran
+    assert out.cost <= out.cost0
+    for k in kfs[len(kfs) // 2:]:
+        err = np.linalg.norm(
+            slam.map.keyframes[k].T_cw[:3, 3] - T_true[k][:3, 3])
+        assert err < 5e-3, f"kf {k} not recovered: {err:.4f}"
