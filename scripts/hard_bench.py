@@ -213,6 +213,11 @@ def main():
     args = ap.parse_args()
     if args.cpu:
         os.environ["JAX_PLATFORMS"] = "cpu"
+        # the env var alone is not enough on this machine: the site hook
+        # monkeypatches jax.get_backend, and only the config path bypasses
+        # the (possibly unreachable) tunneled device client
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     from ov2slam_tpu.utils import enable_compilation_cache
     enable_compilation_cache()
