@@ -51,12 +51,13 @@ def main():
     slam.reset()
     slam.logger.reset()
 
-    # three timed passes, keep the best (the tunneled-TPU link has
-    # intermittent multi-x latency swings unrelated to the workload;
-    # the best pass is the closest estimate of the chip's real speed)
+    # five timed passes, keep the best (the tunneled-TPU link has
+    # intermittent multi-x latency swings unrelated to the workload —
+    # measured p50 roundtrip varies 13-35 ms hour to hour with >300 ms
+    # spikes; the best pass is the closest estimate of the chip's speed)
     best_dt = float("inf")
     chunk = int(os.environ.get("BENCH_CHUNK", "0"))
-    for _ in range(3):
+    for _ in range(int(os.environ.get("BENCH_PASSES", "5"))):
         slam.reset()
         slam.logger.reset()
         t0 = time.perf_counter()

@@ -263,7 +263,10 @@ class Estimator:
             calib_l=self.calib_l, calib_r=self.calib_r, T_rl=self.T_rl,
         )
         return prob, kf_list, np.asarray(lm_set, np.int64), {
-            "obs_meta": obs_meta, "n_obs": n, "pose_opt": pose_opt}
+            "obs_meta": obs_meta, "n_obs": n, "pose_opt": pose_opt,
+            # host copy of prob.lm_valid: the writeback needs it and a
+            # device->host read of the device copy costs a tunnel roundtrip
+            "lm_valid": lm_valid.copy()}
 
     # ------------------------------------------------------------------
     # Deferred (asynchronous) local BA — the reference's Estimator runs BA in
@@ -356,7 +359,7 @@ class Estimator:
         # landmarks whose anchor fell outside the window were dropped and
         # their problem-side state is default-initialized garbage) ----
         nL = len(lm_ids)
-        in_prob = np.asarray(prob.lm_valid)[:nL]
+        in_prob = meta["lm_valid"][:nL]
         m.update_positions_from_ba(
             lm_ids[in_prob], Xw_np[:nL][in_prob], lam_np[:nL][in_prob])
 
@@ -503,7 +506,7 @@ class Estimator:
                 T[:3, 3] = t_np[i]
                 m.keyframes[kfid_i].T_cw = T
         nL = len(lm_ids)
-        in_prob = np.asarray(prob.lm_valid)[:nL]
+        in_prob = meta["lm_valid"][:nL]
         m.update_positions_from_ba(
             lm_ids[in_prob], Xw_np[:nL][in_prob], lam_np[:nL][in_prob])
         out.ran = True

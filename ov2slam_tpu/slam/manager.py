@@ -223,7 +223,7 @@ class SlamSystem:
         # keyframe-bundle / BA-result fetches (each can wait tens of ms on
         # the in-order device queue)
         from concurrent.futures import ThreadPoolExecutor
-        self._fetcher = ThreadPoolExecutor(max_workers=3)
+        self._fetcher = ThreadPoolExecutor(max_workers=8)
         self.estimator = Estimator(
             p, fe_mod.calib_of(self.cam_l), fe_mod.calib_of(self.cam_r),
             self.T_rl, fetcher=self._fetcher, mesh=self.mesh)
@@ -881,7 +881,10 @@ class SlamSystem:
     # ------------------------------------------------------------------
     def _advance_kf_pipeline(self):
         """Advance at most one deferred stage per frame (each stage's device
-        work + transfers then overlap the next tracking frames)."""
+        work + transfers then overlap the next tracking frames). Stage lags
+        are FIXED frame counts, never wall-clock adaptive: gating commits on
+        transfer readiness was tried and makes the pipeline (and hence the
+        trajectory) nondeterministic under link-latency jitter."""
         if self._pending_kf is not None:
             self._pending_kf["age"] += 1
             if self._pending_kf["age"] >= self.KF_COMMIT_LAG:
