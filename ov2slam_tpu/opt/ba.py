@@ -158,7 +158,7 @@ def _cost(p, r, w_valid, chi2, th2, robust):
 @functools.partial(
     jax.jit,
     static_argnames=("invdepth", "max_iters", "robust", "l2_refine",
-                     "l2_iters"),
+                     "l2_iters", "method"),
 )
 def solve_ba(
     p: BAProblem,
@@ -171,8 +171,9 @@ def solve_ba(
     lam0: float = 1e-4,
     l2_refine: bool = False,
     l2_iters: int = 5,
+    method: str = "lm",
 ) -> BAResult:
-    """Schur-complement LM. See module docstring.
+    """Schur-complement LM (or Powell dogleg). See module docstring.
 
     ``optimize_landmarks=False`` gives pose-only refinement;
     ``pose_opt`` all-False + optimize_landmarks=True gives structure-only BA
@@ -180,17 +181,21 @@ def solve_ba(
     ``l2_refine`` mirrors apply_l2_after_robust (optimizer.cpp:488-735):
     after the robust solve + chi2 sweep, outlier observations are masked out
     and the remaining inliers are re-solved with plain L2 loss.
+    ``method="dogleg"`` swaps LM damping for a Powell dogleg trust region
+    (the reference's use_dogleg Ceres option, optimizer.cpp:448-456): same
+    normal equations, step = Gauss-Newton clipped to the trust radius along
+    the classic two-segment path, radius adapted by the gain ratio.
     """
     out = _lm_run(p, p.R, p.t, p.Xw, p.lam, jnp.asarray(robust),
                   invdepth, max_iters, th2_mono, th2_stereo,
-                  optimize_landmarks, lam0)
+                  optimize_landmarks, lam0, method=method)
     if l2_refine:
         # robust->L2: drop chi2/depth outliers, re-solve the inlier-only
         # problem with L2 loss starting from the robust solution
         p2 = p._replace(obs_valid=out.obs_inlier)
         out2 = _lm_run(p2, out.R, out.t, out.Xw, out.lam, jnp.asarray(False),
                        invdepth, l2_iters, th2_mono, th2_stereo,
-                       optimize_landmarks, lam0)
+                       optimize_landmarks, lam0, method=method)
         out = BAResult(out2.R, out2.t, out2.Xw, out2.lam,
                        out2.obs_inlier & out.obs_inlier,
                        out.cost0, out2.cost, out.n_iters + out2.n_iters)
@@ -207,6 +212,7 @@ def _lm_run(
     optimize_landmarks: bool,
     lam0: float,
     psum_axis: Optional[str] = None,
+    method: str = "lm",
 ) -> BAResult:
     """One robust-or-L2 LM run. With ``psum_axis`` set the function runs
     inside shard_map with the observation arrays sharded over that mesh
@@ -360,20 +366,98 @@ def _lm_run(
                 damp, small)
 
     params0 = (R_init, t_init, Xw_init, lam_init)
-    dxp0, dl0 = solve_step(*normals0[:5], jnp.asarray(lam0, dt))
-    trial0 = apply_step(*params0, dxp0, dl0)
-    it, best_f, _, _, trial_f, _, _ = jax.lax.while_loop(
-        lm_cond, lm_body,
-        (jnp.asarray(1), params0, normals0[:5], cost0, trial0,
-         jnp.asarray(lam0, dt), jnp.asarray(False)),
-    )
-    # the final trial may beat the best-so-far; evaluate and take the winner
-    cost_trial = eval_cost(*trial_f)
-    cost_best = eval_cost(*best_f)
-    take_trial = cost_trial < cost_best
-    R_f, t_f, X_f, lam_f = tuple(
-        jnp.where(take_trial, a, b) for a, b in zip(trial_f, best_f))
-    cost_f = jnp.minimum(cost_trial, cost_best)
+    if method == "dogleg":
+        # ---- Powell dogleg trust region (the reference's use_dogleg /
+        # use_subspace_dogleg Ceres option, optimizer.cpp:448-456): same
+        # normal equations as LM; the step is the Gauss-Newton solution
+        # clipped to the trust radius along the classic two-segment
+        # Cauchy-point -> GN path; the radius adapts on the gain ratio. ----
+        def dogleg_step(Hpp, bp, Hll, bl, W, Delta):
+            dxp_gn, dl_gn = solve_step(Hpp, bp, Hll, bl, W,
+                                       jnp.asarray(1e-8, dt))
+            gp = bp * pose_w[:, None]                       # J^T r (masked)
+            gl = bl * lm_w[:, None]
+            gTg = jnp.sum(gp * gp) + jnp.sum(gl * gl)
+            Hg_p = (jnp.einsum("fgij,gj->fi", Hpp, gp)
+                    + jnp.einsum("lfim,lm->fi", W, gl))
+            Hg_l = (jnp.einsum("lnm,lm->ln", Hll, gl)
+                    + jnp.einsum("lfim,fi->lm", W, gp))
+            gTHg = jnp.sum(gp * Hg_p) + jnp.sum(gl * Hg_l)
+            alpha = gTg / jnp.maximum(gTHg, 1e-12)
+            sd_p, sd_l = -alpha * gp, -alpha * gl           # Cauchy step
+            n_sd = alpha * jnp.sqrt(gTg)
+            n_gn = jnp.sqrt(jnp.sum(dxp_gn ** 2) + jnp.sum(dl_gn ** 2))
+            dp_p, dp_l = dxp_gn - sd_p, dl_gn - sd_l
+            a2 = jnp.sum(dp_p ** 2) + jnp.sum(dp_l ** 2)
+            ab = jnp.sum(sd_p * dp_p) + jnp.sum(sd_l * dp_l)
+            c2 = n_sd * n_sd - Delta * Delta
+            disc = jnp.maximum(ab * ab - a2 * c2, 0.0)
+            beta = jnp.clip((-ab + jnp.sqrt(disc)) / jnp.maximum(a2, 1e-12),
+                            0.0, 1.0)
+            case_gn = n_gn <= Delta
+            case_sd = (~case_gn) & (n_sd >= Delta)
+            s_sd = Delta / jnp.maximum(n_sd, 1e-12)
+            h_p = jnp.where(case_gn, dxp_gn,
+                            jnp.where(case_sd, s_sd * sd_p,
+                                      sd_p + beta * dp_p))
+            h_l = jnp.where(case_gn, dl_gn,
+                            jnp.where(case_sd, s_sd * sd_l,
+                                      sd_l + beta * dp_l))
+            # predicted decrease of the (un-halved) cost: -2(g.h + h.Hh/2)
+            Hh_p = (jnp.einsum("fgij,gj->fi", Hpp, h_p)
+                    + jnp.einsum("lfim,lm->fi", W, h_l))
+            Hh_l = (jnp.einsum("lnm,lm->ln", Hll, h_l)
+                    + jnp.einsum("lfim,fi->lm", W, h_p))
+            gh = jnp.sum(gp * h_p) + jnp.sum(gl * h_l)
+            hHh = jnp.sum(h_p * Hh_p) + jnp.sum(h_l * Hh_l)
+            pred = -2.0 * (gh + 0.5 * hHh)
+            n_h = jnp.sqrt(jnp.sum(h_p ** 2) + jnp.sum(h_l ** 2))
+            return h_p, h_l, pred, n_h
+
+        def dl_cond(state):
+            it, _, _, _, _, done = state
+            return (it < max_iters) & ~done
+
+        def dl_body(state):
+            it, params, normals, cost, Delta, _ = state
+            h_p, h_l, pred, n_h = dogleg_step(*normals, Delta)
+            trial = apply_step(*params, h_p, h_l)
+            cost_t = eval_cost(*trial)
+            rho = (cost - cost_t) / jnp.maximum(pred, 1e-12)
+            accept = cost_t < cost
+            Delta = jnp.clip(
+                jnp.where(rho > 0.75, jnp.maximum(Delta, 3.0 * n_h),
+                          jnp.where(rho < 0.25, 0.5 * Delta, Delta)),
+                1e-8, 1e8)
+            params = tuple(jnp.where(accept, a, b)
+                           for a, b in zip(trial, params))
+            trial_normals = build(*params)
+            normals = tuple(jnp.where(accept, a, b)
+                            for a, b in zip(trial_normals[:5], normals))
+            cost = jnp.minimum(cost_t, cost)
+            done = n_h < 1e-7
+            return it + 1, params, normals, cost, Delta, done
+
+        it, best_f, _, cost_f, _, _ = jax.lax.while_loop(
+            dl_cond, dl_body,
+            (jnp.asarray(0), params0, normals0[:5], cost0,
+             jnp.asarray(1.0, dt), jnp.asarray(False)))
+        R_f, t_f, X_f, lam_f = best_f
+    else:
+        dxp0, dl0 = solve_step(*normals0[:5], jnp.asarray(lam0, dt))
+        trial0 = apply_step(*params0, dxp0, dl0)
+        it, best_f, _, _, trial_f, _, _ = jax.lax.while_loop(
+            lm_cond, lm_body,
+            (jnp.asarray(1), params0, normals0[:5], cost0, trial0,
+             jnp.asarray(lam0, dt), jnp.asarray(False)),
+        )
+        # the final trial may beat the best-so-far; take the winner
+        cost_trial = eval_cost(*trial_f)
+        cost_best = eval_cost(*best_f)
+        take_trial = cost_trial < cost_best
+        R_f, t_f, X_f, lam_f = tuple(
+            jnp.where(take_trial, a, b) for a, b in zip(trial_f, best_f))
+        cost_f = jnp.minimum(cost_trial, cost_best)
 
     # final chi2 / depth-positivity sweep (optimizer.cpp:488-627)
     r, _, _, _, pos = _residuals_all(p, R_f, t_f, X_f, lam_f, invdepth)

@@ -66,7 +66,7 @@ def _shard_obs(p: ba_mod.BAProblem, mesh: Mesh, axis: str) -> ba_mod.BAProblem:
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "axis", "invdepth", "max_iters", "robust",
-                     "optimize_landmarks", "l2_refine", "l2_iters"),
+                     "optimize_landmarks", "l2_refine", "l2_iters", "method"),
 )
 def _solve_ba_sharded_impl(
     p: ba_mod.BAProblem,
@@ -80,6 +80,7 @@ def _solve_ba_sharded_impl(
     optimize_landmarks: bool,
     l2_refine: bool,
     l2_iters: int,
+    method: str = "lm",
 ):
     obs_spec = ba_mod.BAProblem(
         R=P(), t=P(), pose_opt=P(), Xw=P(), anchor=P(), bearing=P(), lam=P(),
@@ -102,7 +103,7 @@ def _solve_ba_sharded_impl(
         out = ba_mod._lm_run(
             p_sh, p_sh.R, p_sh.t, p_sh.Xw, p_sh.lam, jnp.asarray(robust),
             invdepth, max_iters, th2_mono, th2_stereo, optimize_landmarks,
-            1e-4, psum_axis=axis)
+            1e-4, psum_axis=axis, method=method)
         if l2_refine:
             # mirror ba_mod.solve_ba's robust->L2 composition
             p2 = p_sh._replace(obs_valid=out.obs_inlier)
@@ -133,6 +134,7 @@ def solve_ba_sharded(
     optimize_landmarks: bool = True,
     l2_refine: bool = False,
     l2_iters: int = 5,
+    method: str = "lm",
 ) -> ba_mod.BAResult:
     """Observation-sharded Schur-LM bundle adjustment over a device mesh —
     the same algorithm as opt.ba.solve_ba (LM accept/reject, Huber IRLS,
@@ -143,7 +145,7 @@ def solve_ba_sharded(
     p = _shard_obs(p, mesh, axis)
     return _solve_ba_sharded_impl(
         p, mesh, axis, invdepth, max_iters, robust, th2_mono, th2_stereo,
-        optimize_landmarks, l2_refine, l2_iters)
+        optimize_landmarks, l2_refine, l2_iters, method)
 
 
 @functools.partial(jax.jit, static_argnames=("mesh", "axis", "n_hyps"))

@@ -277,9 +277,12 @@ class Estimator:
     # ------------------------------------------------------------------
 
     def _solve(self, prob, max_iters: int) -> ba_mod.BAResult:
-        """Dispatch the BA solve: single-device Schur-LM, or the
-        observation-sharded equivalent when a device mesh is configured."""
+        """Dispatch the BA solve: single-device Schur-LM (or Powell dogleg
+        when use_dogleg is set, optimizer.cpp:448-456), or the observation-
+        sharded equivalent when a device mesh is configured."""
         p = self.params
+        method = ("dogleg" if (p.use_dogleg or p.use_subspace_dogleg)
+                  else "lm")
         if self.mesh is not None:
             from ov2slam_tpu.parallel import sharded
             n_dev = int(self.mesh.devices.size)
@@ -296,11 +299,11 @@ class Estimator:
                 prob, self.mesh, invdepth=p.buse_inv_depth,
                 max_iters=max_iters, robust=True,
                 th2_mono=p.robust_mono_th, th2_stereo=p.robust_stereo_th,
-                l2_refine=p.apply_l2_after_robust)
+                l2_refine=p.apply_l2_after_robust, method=method)
         return ba_mod.solve_ba(
             prob, invdepth=p.buse_inv_depth, max_iters=max_iters, robust=True,
             th2_mono=p.robust_mono_th, th2_stereo=p.robust_stereo_th,
-            l2_refine=p.apply_l2_after_robust)
+            l2_refine=p.apply_l2_after_robust, method=method)
 
     def begin_local_ba(self, m: MapStore, new_kfid: int, max_iters: int = 5):
         built = self.build_problem(m, new_kfid)

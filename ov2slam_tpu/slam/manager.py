@@ -183,11 +183,11 @@ class SlamSystem:
             rectified or (pure_baseline and zero_dist)))
 
         import warnings
-        if p.use_dogleg or p.use_subspace_dogleg:
+        if p.use_subspace_dogleg and not p.use_dogleg:
             warnings.warn(
-                "use_dogleg/use_subspace_dogleg are not implemented: the "
-                "device solver is Levenberg-Marquardt (trust-region damping); "
-                "the flags are ignored", stacklevel=2)
+                "use_subspace_dogleg runs the plain Powell dogleg (the "
+                "two-segment subspace restriction, not Ceres's full 2D "
+                "subspace minimization)", stacklevel=2)
         if not p.do_klt or not p.klt_use_prior:
             warnings.warn(
                 "do_klt=0 / klt_use_prior=0 are not supported: the fused "

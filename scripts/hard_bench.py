@@ -185,6 +185,9 @@ def run_config(name, cfg, L, R, gt, max_frames=None):
         "keyframes": len(slam.map.keyframes),
         "landmarks_3d": slam.map.n_3d(),
         "loop_closed": slam.last_loop_event is not None,
+        # silent-cap observability (SURVEY "no silent caps"): BA windows that
+        # overflowed a padded bucket and dropped landmarks/observations
+        "ba_truncations": slam.estimator.n_truncations,
     }
     # LC-corrected full trajectory, when produced (mono: Sim(3) alignment,
     # same as the raw-trajectory metric)
@@ -269,7 +272,8 @@ def main():
 
     import jax
     cols = ["config", "preset", "frames", "fps", "ate_rmse_m", "ate_wlc_opt_m",
-            "tracked_pct", "keyframes", "landmarks_3d", "loop_closed"]
+            "tracked_pct", "keyframes", "landmarks_3d", "loop_closed",
+            "ba_truncations"]
     with open(args.out, "w") as f:
         f.write("# Hard synthetic benchmark\n\n")
         f.write(f"Sequence: {args.frames} frames, 752x480 stereo, textured-room "

@@ -24,7 +24,7 @@ def _system(**kw):
 
 
 @pytest.mark.parametrize("kw", [
-    dict(use_dogleg=1),
+    dict(use_subspace_dogleg=1),
     dict(do_klt=0),
     dict(klt_use_prior=0),
     dict(use_nonmonotic_step=1),
@@ -32,6 +32,16 @@ def _system(**kw):
 def test_unsupported_knobs_warn(kw):
     with pytest.warns(UserWarning):
         _system(**kw)
+
+
+def test_use_dogleg_routes_to_dogleg_solver():
+    # use_dogleg selects the Powell dogleg trust region in the device solver
+    # (reference: optimizer.cpp:448-456 Ceres DOGLEG); it must construct
+    # without warning and solve BA problems as well as LM does
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        s = _system(use_dogleg=1)
+    assert s.params.use_dogleg
 
 
 def test_supported_defaults_do_not_warn():

@@ -336,3 +336,20 @@ def test_ba_gauge_poses_fixed():
     # the two gauge poses must be bit-identical to their input
     np.testing.assert_array_equal(np.asarray(out.R[:2]), np.asarray(prob.R[:2]))
     np.testing.assert_array_equal(np.asarray(out.t[:2]), np.asarray(prob.t[:2]))
+
+
+def test_ba_dogleg_converges_like_lm():
+    """use_dogleg parity (optimizer.cpp:448-456): the Powell dogleg trust
+    region must reach the same basin as LM on both landmark
+    parameterizations."""
+    for seed, invdepth in ((7, True), (8, False)):
+        rng = np.random.default_rng(seed)
+        prob, poses_gt, Xw_gt, n_kf, n_lm = make_ba_problem(
+            rng, invdepth=invdepth)
+        out = ba_mod.solve_ba(prob, invdepth=invdepth, max_iters=12,
+                              method="dogleg")
+        assert float(out.cost) < float(out.cost0) * 0.1
+        errs = _pose_err(out.R, out.t, poses_gt, n_kf)
+        assert errs.max() < 2e-2
+        lm = ba_mod.solve_ba(prob, invdepth=invdepth, max_iters=12)
+        assert float(out.cost) < 2.0 * float(lm.cost) + 1e-6
