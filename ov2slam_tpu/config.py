@@ -174,9 +174,9 @@ class SlamParams:
     # created on the newest frame, like the reference under frame dropping).
     # Deeper = higher throughput, higher pose-output latency (k frames =
     # k/fps seconds). Round-3 driver measurement at depth 6 on the tunneled
-    # v5e: 42.9 fps (ATE unchanged vs depth 1); the tunnel's 1-30 ms RTT
-    # swings dominate depth sensitivity. Locally-attached chips have far
-    # lower link latency and can run shallower.
+    # v5e: 54.0 fps (bench.py, ATE unchanged vs depth 1); the tunnel's
+    # 1-30 ms RTT swings dominate depth sensitivity. Locally-attached chips
+    # have far lower link latency and can run shallower.
     pipeline_depth: int = 6
     kf_capacity: int = 1 << 11
     # Multi-chip: shard every BA solve over an n_devices mesh
