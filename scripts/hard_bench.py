@@ -269,7 +269,13 @@ def main():
                        "loop_closed": False, "error": "run failed"}
         print(json.dumps(row), flush=True)
         rows.append(row)
+        # persist after every tier so an interrupted matrix still leaves a
+        # (partial) table behind
+        write_table(rows, args)
+    print(f"wrote {args.out}")
 
+
+def write_table(rows, args):
     import jax
     cols = ["config", "preset", "frames", "fps", "ate_rmse_m", "ate_wlc_opt_m",
             "tracked_pct", "keyframes", "landmarks_3d", "loop_closed",
@@ -282,11 +288,23 @@ def main():
         f.write("Reference protocol analogue: benchmark_scripts/euroc_bench.sh "
                 "(ATE RMSE per preset tier; no dataset is downloadable in this "
                 "environment, so the hard synthetic stands in).\n\n")
+        f.write("Notes: every tier loads its SHIPPED preset file (column 2) "
+                "with only the synthetic camera's calibration overridden, so "
+                "each row integration-tests a real preset end to end. "
+                "`ate_rmse_m` is the live (as-tracked) trajectory, "
+                "SE(3)-aligned; mono rows use Sim(3) alignment. "
+                "`ate_wlc_opt_m` is `ov2slam_full_traj_wlc_opt.txt` (after "
+                "loop-closure correction + the full-trajectory pose-graph "
+                "final pass). fps is cold-subprocess wall clock including "
+                "every jit compile and ~1-30 ms/roundtrip tunnel latency; "
+                "steady-state throughput is `bench.py` (54 fps round 3). "
+                "`ba_truncations` counts BA windows that overflowed bucket "
+                "capacity (observations or landmarks silently dropped) — "
+                "0 means no silent caps fired.\n\n")
         f.write("| " + " | ".join(cols) + " |\n")
         f.write("|" + "---|" * len(cols) + "\n")
         for r in rows:
             f.write("| " + " | ".join(str(r.get(c, "-")) for c in cols) + " |\n")
-    print(f"wrote {args.out}")
 
 
 if __name__ == "__main__":
