@@ -51,11 +51,12 @@ def main():
     slam.reset()
     slam.logger.reset()
 
-    # five timed passes, keep the best (the tunneled-TPU link has
-    # intermittent multi-x latency swings unrelated to the workload —
+    # five timed passes; report best AND median/worst (the tunneled-TPU link
+    # has intermittent multi-x latency swings unrelated to the workload —
     # measured p50 roundtrip varies 13-35 ms hour to hour with >300 ms
-    # spikes; the best pass is the closest estimate of the chip's speed)
-    best_dt = float("inf")
+    # spikes; the best pass is the closest estimate of the chip's speed, and
+    # publishing the spread keeps the headline honest)
+    pass_dts = []
     chunk = int(os.environ.get("BENCH_CHUNK", "0"))
     for _ in range(int(os.environ.get("BENCH_PASSES", "5"))):
         slam.reset()
@@ -73,14 +74,22 @@ def main():
                 slam.process_stereo_chunk(batch)
                 i += len(batch)
         slam.flush()
-        best_dt = min(best_dt, time.perf_counter() - t0)
-    dt = best_dt
+        pass_dts.append(time.perf_counter() - t0)
+    dt = min(pass_dts)
     fps = n_frames / dt
+    fps_passes = sorted(round(n_frames / d, 2) for d in pass_dts)[::-1]
 
     est_t = np.stack([T[:3, 3] for T in
                       [np.asarray(p) for p in slam.logger.poses_wc]])
     gt_t = np.stack([T[:3, 3] for T in poses_gt])
     err = ate_rmse(est_t, gt_t) if len(est_t) == len(gt_t) else float("nan")
+
+    perf = {}
+    if os.environ.get("BENCH_ACCOUNTING", "1") != "0":
+        try:
+            perf = perf_accounting(slam, frames_l)
+        except Exception as e:          # accounting must never sink the bench
+            perf = {"accounting_error": repr(e)}
 
     print(json.dumps({
         "metric": "synthetic_stereo_slam_fps_752x480",
@@ -89,12 +98,127 @@ def main():
         "vs_baseline": round(fps / 20.0, 3),
         "extra": {
             "n_frames": n_frames,
+            # best/median/worst over the timed passes (tunnel jitter spread)
+            "fps_passes_best_to_worst": fps_passes,
+            "fps_median": fps_passes[len(fps_passes) // 2],
             "ate_rmse_m": round(err, 5),
             "n_keyframes": len(slam.map.keyframes),
             "n_landmarks_3d": slam.map.n_3d(),
             "backend": str(__import__("jax").devices()[0]),
+            **perf,
         },
     }))
+
+
+# TPU v5e (lite) headline specs used for utilization estimates: 197 TFLOP/s
+# bf16 MXU peak, 819 GB/s HBM bandwidth (public spec sheet numbers).
+V5E_PEAK_FLOPS = 197e12
+V5E_HBM_BPS = 819e9
+
+
+def perf_accounting(slam, frames_l):
+    """Per-stage amortized device times + XLA FLOP/byte accounting for the
+    hot per-frame path (VERDICT r3 #2: publish MFU / roofline evidence, not
+    just wall fps). Chained dispatches measure device throughput; one lower/
+    compile per kernel reads XLA's cost analysis."""
+    import jax
+    import jax.numpy as jnp
+    from ov2slam_tpu.slam import frontend as fe_mod
+    from ov2slam_tpu.ops import klt as klt_mod
+
+    p = slam.params
+    lm_pos, lm_is3d = slam.map.device_landmarks()
+    cam = slam.cam_l
+    imgs = [jnp.asarray(np.ascontiguousarray(f), jnp.uint8)
+            for f in frames_l[-4:]]
+    kw = dict(levels=p.nklt_pyr_lvl, use_clahe=p.use_clahe,
+              clahe_clip=p.fclahe_val, nklt_win=p.nklt_win_size,
+              nmax_iter=p.nmax_iter, fmax_px_precision=p.fmax_px_precision,
+              fmax_fbklt_dist=p.fmax_fbklt_dist, klt_err=p.nklt_err,
+              do_epipolar=p.doepipolar, fransac_err=p.fransac_err,
+              robust_th2=p.robust_mono_th,
+              n_ransac_hyps=fe_mod.ransac_hyps_of(p), dop3p=p.dop3p,
+              track_from_kf=p.btrack_keyframetoframe)
+
+    def timeit(fn, n=50):
+        out = fn()
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = fn()
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / n * 1e3
+
+    # ---- full fused tracking step (donated-state chain) ----
+    st = {"s": slam.fe_state, "i": 0}
+
+    def step():
+        st["i"] += 1
+        st["s"], stats = fe_mod.frame_step(
+            st["s"], imgs[st["i"] % 4], lm_pos, lm_is3d, cam, **kw)
+        return stats
+
+    ms_frame = timeit(step)
+
+    # XLA cost analysis of the same computation (flops / bytes accessed)
+    flops = bytes_acc = None
+    try:
+        cost = fe_mod.frame_step.lower(
+            st["s"], imgs[0], lm_pos, lm_is3d, cam, **kw
+        ).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", float("nan")))
+        bytes_acc = float(cost.get("bytes accessed", float("nan")))
+    except Exception:
+        pass
+
+    # ---- component kernels (the KLT Gauss-Newton loop dominates) ----
+    state = st["s"]
+    kps = state.kps
+    pyr, gx, gy = state.pyr, state.gx, state.gy
+
+    def klt():
+        return klt_mod.fb_klt_tracking(
+            pyr, pyr, kps.px, kps.px, kps.valid,
+            nlevels=p.nklt_pyr_lvl, win=p.nklt_win_size,
+            max_iters=p.nmax_iter, eps=p.fmax_px_precision,
+            max_fb_dist=p.fmax_fbklt_dist, max_err=p.nklt_err,
+            prev_grad_pyr=tuple(zip(gx, gy)),
+            next_grad_pyr=tuple(zip(gx, gy))).points
+
+    ms_klt = timeit(klt)
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("lv", "uc"))
+    def _pre_jit(img, lv, uc, cc):
+        q = fe_mod.preprocess(img, lv, uc, cc)
+        return fe_mod._grad_pyrs(q)[0][0]
+
+    ms_pre = timeit(lambda: _pre_jit(imgs[0], p.nklt_pyr_lvl,
+                                     p.use_clahe, p.fclahe_val))
+
+    out = {
+        "frame_step_device_ms": round(ms_frame, 2),
+        "per_stage_ms": {
+            "preprocess_grads": round(ms_pre, 2),
+            "fb_klt": round(ms_klt, 2),
+            "pnp_ransac_other": round(max(ms_frame - ms_klt - ms_pre, 0.0), 2),
+        },
+        "device_fps_upper_bound": round(1e3 / ms_frame, 1),
+    }
+    if flops and np.isfinite(flops):
+        achieved = flops / (ms_frame / 1e3)
+        out["flops_per_frame"] = flops
+        out["mfu_est"] = round(achieved / V5E_PEAK_FLOPS, 5)
+        if bytes_acc and np.isfinite(bytes_acc):
+            out["bytes_per_frame"] = bytes_acc
+            out["hbm_util_est"] = round(
+                (bytes_acc / (ms_frame / 1e3)) / V5E_HBM_BPS, 4)
+            out["arith_intensity_flops_per_byte"] = round(
+                flops / bytes_acc, 3)
+    return out
 
 
 if __name__ == "__main__":

@@ -154,6 +154,52 @@ def remap_bilinear(img: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
     return sample_bilinear(img, grid)
 
 
+def _cubic_weights(f: jnp.ndarray, a: float = -0.75):
+    """Keys bicubic kernel weights (cv::INTER_CUBIC uses a=-0.75) for taps at
+    offsets -1, 0, 1, 2 relative to floor(coord); f in [0, 1)."""
+    # |x| <= 1: (a+2)|x|^3 - (a+3)|x|^2 + 1 ; 1 < |x| < 2: a(|x|-2)^2(|x|-1)
+    d0 = 1.0 + f          # tap -1
+    d1 = f                # tap  0
+    d2 = 1.0 - f          # tap +1
+    d3 = 2.0 - f          # tap +2
+    w0 = a * d0 * d0 * d0 - 5.0 * a * d0 * d0 + 8.0 * a * d0 - 4.0 * a
+    w1 = (a + 2.0) * d1 * d1 * d1 - (a + 3.0) * d1 * d1 + 1.0
+    w2 = (a + 2.0) * d2 * d2 * d2 - (a + 3.0) * d2 * d2 + 1.0
+    w3 = a * d3 * d3 * d3 - 5.0 * a * d3 * d3 + 8.0 * a * d3 - 4.0 * a
+    return w0, w1, w2, w3
+
+
+def sample_bicubic(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
+    """Bicubic (Catmull-Rom-family, a=-0.75) sampling at float coords —
+    separable 4x4 taps, clamped borders. Sharper than bilinear: the
+    rectification remap costs measurable KLT/detector accuracy when the
+    resampling low-passes the image (round-3 rect-tier ATE penalty)."""
+    H, W = img.shape
+    x = jnp.clip(xy[..., 0], 0.0, W - 1.000001)
+    y = jnp.clip(xy[..., 1], 0.0, H - 1.000001)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx = x - x0.astype(x.dtype)
+    fy = y - y0.astype(y.dtype)
+    wx = _cubic_weights(fx)
+    wy = _cubic_weights(fy)
+    out = jnp.zeros(x.shape, img.dtype)
+    for i in range(4):
+        yi = jnp.clip(y0 + (i - 1), 0, H - 1)
+        row = jnp.zeros(x.shape, img.dtype)
+        for j in range(4):
+            xj = jnp.clip(x0 + (j - 1), 0, W - 1)
+            row = row + wx[j] * img[yi, xj]
+        out = out + wy[i] * row
+    return out
+
+
+def remap_bicubic(img: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
+    """cv::remap(..., INTER_CUBIC) semantics; used for the rectification /
+    undistortion path where resampling sharpness limits tracking accuracy."""
+    return sample_bicubic(img, grid)
+
+
 # ---------------------------------------------------------------------------
 # CLAHE
 # ---------------------------------------------------------------------------

@@ -488,7 +488,8 @@ class Estimator:
         return out
 
     def local_ba_with_caps(self, m, kfid, max_kfs, max_lms, max_obs,
-                           max_iters, structure_only: bool = False) -> BAOutcome:
+                           max_iters, structure_only: bool = False,
+                           only_lmids=None) -> BAOutcome:
         built = self.build_problem(m, kfid, max_kfs, max_lms, max_obs)
         out = BAOutcome()
         if built is None:
@@ -499,6 +500,18 @@ class Estimator:
             # (Optimizer::structureOnlyBA, optimizer.cpp:2594-2782)
             prob = prob._replace(pose_opt=jnp.zeros_like(prob.pose_opt))
             meta["pose_opt"] = np.zeros_like(meta["pose_opt"])
+        if only_lmids is not None:
+            # refine EXACTLY these landmarks, everything else constant —
+            # the reference's structureOnlyBA takes the merged lmid set
+            # (optimizer.cpp:2594-2782); without the restriction every
+            # landmark of the covisibility window gets perturbed
+            sel = np.isin(lm_ids, np.asarray(sorted(only_lmids)))
+            keep = np.zeros(int(prob.lm_valid.shape[0]), bool)
+            keep[: len(sel)] = sel
+            prob = prob._replace(lm_valid=prob.lm_valid & jnp.asarray(keep))
+            meta["lm_valid"] = meta["lm_valid"] & keep
+            if not keep.any():
+                return out
         result = self._solve(prob, max_iters)
         R_np, t_np, Xw_np, lam_np = fetch_np(
             result.R, result.t, result.Xw, result.lam)

@@ -289,25 +289,30 @@ class LoopCloser:
         # ---- recompute landmark positions from corrected anchors ----
         self._recompute_landmarks(m)
 
-        # ---- merge the verified landmark pairs (map_manager.cpp:801-882) ---
+        # ---- merge the verified landmark pairs (map_manager.cpp:801-882),
+        # batched: one vectorized re-point pass per affected keyframe ----
+        from ov2slam_tpu.io.profiler import Profiler
         inl_np = np.asarray(pnp.inliers)
-        n_merged = 0
+        mdst, msrc = [], []
         for j, (s, lm) in enumerate(pairs[:N]):
             if not inl_np[j]:
                 continue
             src = int(rec.lmid[s])
-            if src < 0 or src == lm or not m.lm_valid[src] or not m.lm_valid[lm]:
-                continue
-            m.merge_landmarks(lm, src)
-            n_merged += 1
-        m.update_covisibility(kfid)
+            if src >= 0 and src != lm:
+                mdst.append(lm)
+                msrc.append(src)
+        with Profiler.instance().scope("2.LC_MergeBookkeeping"):
+            n_merged = m.merge_landmarks_batch(mdst, msrc)
+            m.update_covisibility(kfid)
 
-        # ---- structure-only refinement of the merged region
-        # (Optimizer::structureOnlyBA, loop_closer.cpp:353) ----
+        # ---- structure-only refinement of EXACTLY the merged landmarks
+        # (Optimizer::structureOnlyBA refines the merged lmid set with all
+        # poses constant, optimizer.cpp:2594-2782; loop_closer.cpp:353) ----
         if self.estimator is not None and n_merged > 0:
             self.estimator.local_ba_with_caps(
                 m, kfid, max_kfs=24, max_lms=4096, max_obs=16384,
-                max_iters=3, structure_only=True)
+                max_iters=3, structure_only=True,
+                only_lmids={d for d in mdst if m.lm_valid[d]})
 
         # ---- loose BA over the loop span when the correction was large
         # (reference: looseBA, optimizer.cpp:900-1673, triggered at

@@ -230,6 +230,8 @@ class SlamSystem:
         self.loopcloser = (LoopCloser(p, self.cam_l, self.estimator)
                            if p.buse_loop_closer else None)
         self.last_loop_event = None
+        # cumulative across resets (observability for multi-loop benches)
+        self.loop_events = getattr(self, "loop_events", [])
         self.fe_state: Optional[fe_mod.FEState] = None
         self.T_cw = np.eye(4, dtype=np.float32)
         self.initialized = False
@@ -527,9 +529,13 @@ class SlamSystem:
     def _rectify(self, img, cam_idx: int):
         """Rectify on device and KEEP the result there (a per-frame
         device->host image download costs a 1.4 MB transfer + host churn;
-        every consumer accepts device arrays)."""
+        every consumer accepts device arrays). Bicubic taps — a deliberate
+        upgrade over the reference's INTER_LINEAR remap
+        (camera_calibration.cpp:238): bilinear resampling low-passes the
+        image and costs KLT/detector subpixel accuracy, the round-3
+        rect-tier ATE penalty."""
         from ov2slam_tpu.ops import image as im_mod
-        return im_mod.remap_bilinear(
+        return im_mod.remap_bicubic(
             jnp.asarray(img, jnp.float32), self.rect_maps[cam_idx])
 
     def T_wc(self) -> np.ndarray:
@@ -1074,20 +1080,22 @@ class SlamSystem:
             fut, ids = pending["lmm"]
             with self.prof.scope("2.KF_LMM_fetch"):
                 ok_np, slot_np = fut.result()
-            n_merged = 0
             taken = set()
             m = self.map
+            mdst, msrc = [], []
             for ci in np.nonzero(ok_np)[0]:
                 s = int(slot_np[ci])
                 if s < 0 or s in taken:
                     continue
                 dst = int(ids[ci])
                 src = int(rec.lmid[s])
-                if dst < 0 or src < 0 or dst == src or not m.lm_valid[dst]:
+                if dst < 0 or src < 0 or dst == src:
                     continue
                 taken.add(s)
-                m.merge_landmarks(dst, src)
-                n_merged += 1
+                mdst.append(dst)
+                msrc.append(src)
+            with self.prof.scope("2.KF_LMM_merge"):
+                n_merged = m.merge_landmarks_batch(mdst, msrc)
             if n_merged:
                 # sync the live keypoint table with the re-pointed slots
                 m.update_covisibility(kfid)
@@ -1127,6 +1135,7 @@ class SlamSystem:
                 ev = self.loopcloser.process_kf(self.map, kfid)
             if ev is not None:
                 self.last_loop_event = ev
+                self.loop_events.append(ev)
                 # discard any in-flight local BA: its solve predates the
                 # loop correction and writing it back would overwrite the
                 # corrected poses/landmarks of the BA window (the reference

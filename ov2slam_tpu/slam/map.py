@@ -322,6 +322,63 @@ class MapStore:
         self.remove_landmark(src)
         self._device_dirty = True
 
+    def merge_landmarks_batch(self, dsts, srcs) -> int:
+        """Merge many (dst, src) pairs at once (loop-closure events merge
+        100s of landmarks; the per-pair path scans every observing KF's full
+        keypoint table per call). Grouping by keyframe turns the bookkeeping
+        into one vectorized re-point pass per affected KF. Falls back to the
+        scalar path when pairs chain (a src that is another pair's dst), so
+        sequential semantics are preserved exactly. Returns merge count."""
+        keep = [(int(d), int(s)) for d, s in zip(dsts, srcs)
+                if int(d) != int(s)
+                and self.lm_valid[int(d)] and self.lm_valid[int(s)]]
+        seen: Set[int] = set()
+        pairs = []
+        for d, s in keep:
+            if s not in seen:
+                pairs.append((d, s))
+                seen.add(s)
+        if not pairs:
+            return 0
+        if {d for d, _ in pairs} & seen:
+            n = 0
+            for d, s in pairs:
+                if self.lm_valid[d] and self.lm_valid[s]:
+                    self.merge_landmarks(d, s)
+                    n += 1
+            return n
+        dst_arr = np.asarray([d for d, _ in pairs])
+        src_arr = np.asarray([s for _, s in pairs])
+        remap = np.full(self.cap, -1, np.int64)
+        remap[src_arr] = dst_arr
+        kfs: Set[int] = set()
+        for s in src_arr.tolist():
+            kfs |= self.lm_obs.get(s, set())
+        for kfid in kfs:
+            kf = self.keyframes.get(kfid)
+            if kf is None:
+                continue
+            lm = kf.lmid
+            live = kf.valid & (lm >= 0)
+            sel = np.nonzero(live & (remap[np.clip(lm, 0, self.cap - 1)] >= 0)
+                             )[0]
+            if len(sel) == 0:
+                continue
+            have = set(lm[live].tolist())
+            for slot, d in zip(sel.tolist(), remap[lm[sel]].tolist()):
+                if d in have or kfid in self.lm_obs.get(d, ()):
+                    # dst already observed here: drop the duplicate keypoint
+                    kf.valid[slot] = False
+                else:
+                    kf.lmid[slot] = d
+                    self.lm_obs[d].add(kfid)
+                    have.add(d)
+        for s in src_arr.tolist():
+            self.lm_obs[s] = set()
+            self.remove_landmark(s)
+        self._device_dirty = True
+        return len(pairs)
+
     def update_covisibility(self, kfid: int):
         """Recount shared 3D landmarks between kfid and all co-observers
         (reference: map_manager.cpp:117-193)."""

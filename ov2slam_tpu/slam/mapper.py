@@ -218,13 +218,19 @@ def triangulate_temporal(
     anc_bv: jnp.ndarray,                           # (K, 3) bearing at anchor
     anc_ok: jnp.ndarray,                           # (K,) has valid anchor data
     cam: Camera,
-    min_parallax_px: float = 10.0,
+    min_trans: jnp.ndarray = 0.0,                  # stereo: skip if |t| < 1 cm
     max_reproj_px: float = 3.0,
     max_depth: float = 200.0,
 ) -> TemporalTriResult:
     """Two-view temporal triangulation against the first observing keyframe
-    (Mapper::triangulateTemporal, mapper.cpp:191-344): parallax, chirality
-    and reprojection gates."""
+    (Mapper::triangulateTemporal, mapper.cpp:191-344). Gates mirror the
+    reference EXACTLY: chirality (z > 0.1 in both views) and reprojection
+    error < fmax_reproj_err in BOTH views — there is no minimum-parallax
+    gate (round-3 bug: an invented 10 px parallax gate starved the
+    monocular bootstrap into a reset loop; the reference only uses parallax
+    to decide whether a failed candidate's observation is removed,
+    mapper.cpp:306-330). In stereo mode candidates with < 1 cm baseline are
+    skipped (mapper.cpp:287-289)."""
     T_cur = SE3(R_cw, t_cw)
     T_anc = SE3(anc_R_cw, anc_t_cw)
     # anchor-to-current transform per keypoint
@@ -240,23 +246,19 @@ def triangulate_temporal(
     Xc = lie.se3_apply(T_ca, Xa)
     depth_c = Xc[:, 2]
 
-    # rotation-compensated parallax: where would the anchor bearing land with
-    # pure rotation
-    focal = 0.5 * (cam.fx + cam.fy)
-    b_rot = jnp.einsum("nij,nj->ni", T_ca.R, anc_bv)
-    rot_px = cam_mod.project_cam_to_image(cam, b_rot)
-    parallax = jnp.linalg.norm(kps.unpx - rot_px, axis=-1)
-
-    # reprojection error in the current frame
-    reproj = cam_mod.project_cam_to_image(cam, Xc)
-    err = jnp.linalg.norm(reproj - kps.unpx, axis=-1)
+    # reprojection error in BOTH views (mapper.cpp:317-325)
+    reproj_c = cam_mod.project_cam_to_image(cam, Xc)
+    err_c = jnp.linalg.norm(reproj_c - kps.unpx, axis=-1)
+    reproj_a = cam_mod.project_cam_to_image(cam, Xa)
+    anc_unpx = cam_mod.project_cam_to_image(cam, anc_bv)
+    err_a = jnp.linalg.norm(reproj_a - anc_unpx, axis=-1)
 
     ok = (
         anc_ok & kps.valid
-        & (parallax > min_parallax_px)
-        & (depth_a > 0.05) & (depth_c > 0.05)
+        & (jnp.linalg.norm(T_ca.t, axis=-1) >= min_trans)
+        & (depth_a > 0.1) & (depth_c > 0.1)
         & (depth_a < max_depth)
-        & (err < max_reproj_px)
+        & (err_c < max_reproj_px) & (err_a < max_reproj_px)
     )
     T_wa = lie.se3_inverse(T_anc)
     Xw = lie.se3_apply(T_wa, Xa)
@@ -428,7 +430,8 @@ def kf_step(
                  & ~kpsX.is3d & (kpsX.lmid >= 0))
         tt = triangulate_temporal(
             kpsX._replace(valid=guard), R_cw, t_cw,
-            anc_R, anc_t, anc_bv, guard, cam_l)
+            anc_R, anc_t, anc_bv, guard, cam_l,
+            min_trans=0.01 if stereo else 0.0)
         kpsY = kpsX._replace(is3d=kpsX.is3d | (tt.ok & kpsX.valid))
         return kpsY, tt
 

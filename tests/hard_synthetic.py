@@ -38,6 +38,9 @@ CAM_EUROC = CamSpec(752, 480, 458.0, 458.0, 376.0, 240.0, 0.11)
 # KITTI seq-00 rig (parameters_files/accurate/kitti/kitti_00-02.yaml):
 # 1241x376 @ fx 718.856, 0.537 m baseline
 CAM_KITTI = CamSpec(1241, 376, 718.856, 718.856, 607.1928, 185.2157, 0.537)
+# TartanAir rig (parameters_files/*/tartanair/*.yaml): 640x480 @ fx 320,
+# distortion-free, 0.25 m baseline
+CAM_TARTAN = CamSpec(640, 480, 320.0, 320.0, 320.0, 240.0, 0.25)
 
 FX, FY, CX, CY = CAM_EUROC.FX, CAM_EUROC.FY, CAM_EUROC.CX, CAM_EUROC.CY
 W, H = CAM_EUROC.W, CAM_EUROC.H
@@ -170,6 +173,34 @@ class RoomWorld:
         return img
 
 
+def fig8_trajectory(n_frames: int, ax: float = 5.5, ay: float = 2.8,
+                    periods: float = None, bob: float = 0.02):
+    """Figure-8 (Lissajous x = ax sin t, y = ay sin 2t) inside the room,
+    camera facing along the tangent: a MULTI-loop topology — each lobe is a
+    distinct loop revisited every period, unlike loop_trajectory's single
+    circuit (the KITTI-00 regime: multiple distinct loop closures,
+    /root/reference README KITTI claims). Returns T_wc list."""
+    if periods is None:
+        periods = max(1.0, n_frames / 1000.0)
+    poses = []
+    for i in range(n_frames):
+        th = 2 * np.pi * periods * i / n_frames
+        pos = np.array([ax * np.sin(th), ay * np.sin(2 * th),
+                        bob * np.sin(i * 0.13)])
+        vel = np.array([ax * np.cos(th), 2 * ay * np.cos(2 * th), 0.0])
+        fwd = vel / np.linalg.norm(vel)
+        down = np.array([0.0, 0.0, -1.0])
+        right = np.cross(down, fwd)
+        right /= np.linalg.norm(right)
+        T = np.eye(4)
+        T[:3, 0] = right
+        T[:3, 1] = down
+        T[:3, 2] = fwd
+        T[:3, 3] = pos
+        poses.append(T)
+    return poses
+
+
 def loop_trajectory(n_frames: int, radius: float = 4.5, laps: float = 1.08,
                     bob: float = 0.02):
     """Camera circles the room interior, facing tangentially; `laps` > 1
@@ -203,13 +234,18 @@ def exposure(img: np.ndarray, i: int) -> np.ndarray:
 
 
 def render_hard_sequence(n_frames=1000, seed=0, dist=(-0.28, 0.07),
-                         with_exposure=True, cam: CamSpec = CAM_EUROC):
+                         with_exposure=True, cam: CamSpec = CAM_EUROC,
+                         traj: str = "loop"):
     """Generator of (img_l, img_r, t, T_wc_gt): distorted, exposure-drifted
     stereo frames around the room loop. Yields lazily — 1000+ frames at
     752x480 would be ~2.9 GB if materialized. The lap count scales with
-    length (1000 frames ~ 1 lap), so longer sequences revisit repeatedly."""
+    length (1000 frames ~ 1 lap), so longer sequences revisit repeatedly.
+    traj="fig8" switches to the multi-loop figure-8 topology."""
     world = RoomWorld(seed=seed)
-    poses = loop_trajectory(n_frames, laps=1.08 * max(1.0, n_frames / 1000.0))
+    if traj == "fig8":
+        poses = fig8_trajectory(n_frames)
+    else:
+        poses = loop_trajectory(n_frames, laps=1.08 * max(1.0, n_frames / 1000.0))
     T_rl = np.eye(4)
     T_rl[0, 3] = -cam.BASELINE
     T_lr = np.linalg.inv(T_rl)

@@ -63,6 +63,20 @@ def test_remap_vs_opencv():
     np.testing.assert_allclose(ours[5:-5, 5:-5], ref[5:-5, 5:-5], atol=0.5)
 
 
+def test_remap_bicubic_vs_opencv():
+    img = make_texture()
+    h, w = img.shape
+    ys, xs = np.meshgrid(np.arange(h, dtype=np.float32),
+                         np.arange(w, dtype=np.float32), indexing="ij")
+    mx = xs + 3.0 * np.sin(ys / 37.0)
+    my = ys + 2.0 * np.cos(xs / 53.0)
+    ref = cv2.remap(img, mx, my, cv2.INTER_CUBIC,
+                    borderMode=cv2.BORDER_REPLICATE)
+    grid = jnp.asarray(np.stack([mx, my], axis=-1))
+    ours = np.asarray(im.remap_bicubic(jnp.asarray(img), grid))
+    np.testing.assert_allclose(ours[5:-5, 5:-5], ref[5:-5, 5:-5], atol=0.05)
+
+
 def test_scharr_vs_opencv():
     img = make_texture()
     ix, iy = im.scharr_gradients(jnp.asarray(img))
