@@ -252,6 +252,16 @@ class SlamSystem:
         # one KF and written back at the next.
         from collections import deque
         self._inflight = deque()
+        # cumulative world-frame pose correction (right factor on T_cw).
+        # World-side right factors commute with camera-side tracking
+        # increments (T_rel @ (T_cw @ dC) = (T_rel @ T_cw) @ dC), so a
+        # correction that lands while frames are in flight can be applied
+        # exactly at finalize time: each in-flight entry records the
+        # cumulative factor at dispatch, and finalize right-multiplies the
+        # stats pose by corr_at_dispatch^-1 @ corr_now. Without this, the
+        # logged poses of up to pipeline_depth frames after every BA
+        # writeback / loop closure silently lose the correction.
+        self._corr_cw = np.eye(4, dtype=np.float64)
         self._pending_ba = None
         # staged keyframe commit (deferred mode): the kf_step fetch bundle
         # commits KF_COMMIT_LAG frames after dispatch, the local-map match one
@@ -286,6 +296,16 @@ class SlamSystem:
             R_cw=jnp.asarray(self.T_cw[:3, :3]),
             t_cw=jnp.asarray(self.T_cw[:3, 3]))
 
+    def _late_corrected(self, T_cw: np.ndarray, corr) -> np.ndarray:
+        """Fold corrections that landed after this frame's dispatch into its
+        stats pose: T' = T @ (corr_at_dispatch^-1 @ corr_now)."""
+        if corr is None or corr is self._corr_cw:
+            return T_cw
+        delta = np.linalg.inv(corr) @ self._corr_cw
+        if np.abs(delta - np.eye(4)).max() < 1e-12:
+            return T_cw
+        return (T_cw.astype(np.float64) @ delta).astype(np.float32)
+
     def _apply_pose_correction(self, T_old: np.ndarray, T_new: np.ndarray):
         """Apply a keyframe pose correction (BA / loop closure) to the live
         pose as a RELATIVE update — the live frame may have tracked past the
@@ -296,6 +316,7 @@ class SlamSystem:
               @ T_new.astype(np.float64))
         if np.abs(dT - np.eye(4)).max() < 1e-9:
             return
+        self._corr_cw = self._corr_cw @ dT
         self.T_cw = (self.T_cw.astype(np.float64) @ dT).astype(np.float32)
         if self.fe_state is not None:
             dR = jnp.asarray(dT[:3, :3].astype(np.float32))
@@ -351,7 +372,8 @@ class SlamSystem:
             # so a single fetcher thread pays it off the critical path (the
             # fetch releases the GIL) and finalize reads the ready result.
             self._inflight.append(
-                (self._fetcher.submit(np.asarray, stats), iml, imr, time))
+                (self._fetcher.submit(np.asarray, stats), iml, imr, time,
+                 self._corr_cw))
             while len(self._inflight) > max(1, p.pipeline_depth):
                 self._finalize_frame(*self._inflight.popleft())
             # advance at most one staged KF-commit step per frame
@@ -374,10 +396,14 @@ class SlamSystem:
             T_wkf = np.linalg.inv(self._pending_kf["T_cw"].astype(np.float64))
         self.logger.add(time, self.T_wc(), is_kf, self.cur_kfid, T_wkf)
 
-    def _finalize_frame(self, stats, iml, imr, time, allow_kf=True,
+    def _finalize_frame(self, stats, iml, imr, time, corr=None, allow_kf=True,
                         force_kf=False):
         """Blocking half of frame processing: read the stats vector, update
-        the pose/log, decide + run keyframe processing."""
+        the pose/log, decide + run keyframe processing. `corr` is the
+        cumulative world-frame correction factor at dispatch time; any
+        corrections applied since (BA writeback, loop closure) are folded
+        into the stats pose here (exact: right factors commute with the
+        tracking chain)."""
         p = self.params
         if hasattr(stats, "result"):        # prefetched on the fetcher thread
             stats = stats.result()
@@ -390,7 +416,7 @@ class SlamSystem:
             T = np.eye(4, dtype=np.float32)
             T[:3, :3] = _mat_from_quat_np(stats_np[8:12])
             T[:3, 3] = stats_np[5:8]
-            self.T_cw = T
+            self.T_cw = self._late_corrected(T, corr)
         elif n_3d >= 10 and self.initialized:
             # P3P-RANSAC recovery when the prior-seeded PnP failed
             # (reference: p3pRansac path, visual_front_end.cpp:659-851)
@@ -647,7 +673,8 @@ class SlamSystem:
             # pipelined mono (same structure as stereo): the blocking stats
             # read lags pipeline_depth frames behind the dispatch
             self._inflight.append(
-                (self._fetcher.submit(np.asarray, stats), im, None, time))
+                (self._fetcher.submit(np.asarray, stats), im, None, time,
+                 self._corr_cw))
             while len(self._inflight) > max(1, p.pipeline_depth):
                 self._finalize_mono(*self._inflight.popleft())
             self._advance_kf_pipeline()
@@ -681,7 +708,7 @@ class SlamSystem:
         return self.T_wc()
 
     # ------------------------------------------------------------------
-    def _finalize_mono(self, stats, im, _imr, time, allow_kf=True,
+    def _finalize_mono(self, stats, im, _imr, time, corr=None, allow_kf=True,
                        force_kf=False):
         """Blocking half of initialized mono frame processing (mirrors
         _finalize_frame; in pipelined mode keyframes are created on the
@@ -697,7 +724,7 @@ class SlamSystem:
             T = np.eye(4, dtype=np.float32)
             T[:3, :3] = _mat_from_quat_np(stats_np[8:12])
             T[:3, 3] = stats_np[5:8]
-            self.T_cw = T
+            self.T_cw = self._late_corrected(T, corr)
         need_kf = allow_kf and fe_mod.check_new_kf(
             p, n_tracked, int(stats_np[2]), parallax,
             self.frames_since_kf, self.n3d_at_kf, pose_ok,

@@ -99,6 +99,56 @@ def test_force_realtime_pipelined(sequence, tmp_path):
     assert err < 0.05, f"pipelined ATE {err:.4f}"
 
 
+def test_inflight_frames_get_late_corrections():
+    """A BA / loop-closure pose correction that lands while frames are in
+    flight (force_realtime pipelining) must reach those frames' logged
+    poses. World-side right factors commute with the camera-side tracking
+    chain (T_rel @ (T_cw @ dC) = (T_rel @ T_cw) @ dC), so finalize can fold
+    corr_at_dispatch^-1 @ corr_now into the stats pose exactly
+    (manager._late_corrected). The reference avoids the problem by blocking:
+    its front end consumes corrections before the next frame starts
+    (visual_front_end.cpp / map_manager mutex)."""
+    d = syn.slam_params_dict()
+    d["force_realtime"] = 1
+    slam = SlamSystem(SlamParams.from_dict(d))
+
+    rng = np.random.default_rng(3)
+    T = np.eye(4, dtype=np.float32)
+    T[:3, 3] = rng.normal(0, 1, 3)
+
+    corr_at_dispatch = slam._corr_cw
+    # no correction landed since dispatch -> identity (and same object)
+    np.testing.assert_array_equal(
+        slam._late_corrected(T, corr_at_dispatch), T)
+
+    # a loop-closure-sized correction lands while the frame is in flight
+    T_old = np.eye(4)
+    T_new = np.eye(4)
+    T_new[:3, 3] = [0.3, -0.2, 0.1]
+    dT = np.linalg.inv(T_old) @ T_new
+    slam._apply_pose_correction(T_old, T_new)
+    np.testing.assert_allclose(slam._corr_cw, dT, atol=1e-12)
+
+    out = slam._late_corrected(T, corr_at_dispatch)
+    expected = T.astype(np.float64) @ dT
+    np.testing.assert_allclose(out, expected, atol=1e-6)
+
+    # two stacked corrections compose in order
+    T_new2 = np.eye(4)
+    T_new2[:3, :3] = np.array(
+        [[0, -1, 0], [1, 0, 0], [0, 0, 1]], dtype=np.float64)
+    slam._apply_pose_correction(T_old, T_new2)
+    out2 = slam._late_corrected(T, corr_at_dispatch)
+    np.testing.assert_allclose(
+        out2, T.astype(np.float64) @ dT @ T_new2, atol=1e-6)
+
+    # a frame dispatched AFTER all corrections is untouched
+    np.testing.assert_array_equal(slam._late_corrected(T, slam._corr_cw), T)
+    # reset clears the accumulator
+    slam.reset()
+    np.testing.assert_array_equal(slam._corr_cw, np.eye(4))
+
+
 def test_chunked_tracking(sequence):
     """process_stereo_chunk (lax.scan over frames) matches per-frame
     accuracy on the synthetic sequence."""
