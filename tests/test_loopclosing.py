@@ -94,6 +94,40 @@ def test_loop_closure_fires_and_map_stays_consistent():
     assert err_opt < 0.08, f"relaxed full-traj ATE {err_opt:.3f}"
 
 
+def test_loop_closure_under_realtime_pipelining():
+    """Loop closure landing while frames are in flight (force_realtime
+    pipelining): the Sim(3)/pose-graph correction must reach the in-flight
+    frames' logged poses (manager._late_corrected folds the correction
+    accrued since dispatch into each finalize) — without it, up to
+    pipeline_depth frames after the event log pre-correction poses and the
+    trajectory carries a discontinuity."""
+    frames_l, frames_r, poses_gt = render_out_and_back()
+    d = syn.slam_params_dict()
+    d["buse_loop_closer"] = 1
+    d["bdo_track_localmap"] = 0
+    d["force_realtime"] = 1
+    slam = SlamSystem(SlamParams.from_dict(d))
+    slam.loopcloser.detector.p_wait = 10
+    slam.loopcloser.detector.min_consecutive = 2
+    slam.loopcloser.detector.min_score = 3.0
+
+    for i, (il, ir) in enumerate(zip(frames_l, frames_r)):
+        slam.process_stereo(il, ir, time=i * 0.05)
+    slam.flush()
+
+    assert slam.last_loop_event is not None, \
+        "no loop closure fired under pipelining"
+    assert len(slam.logger.poses_wc) == len(frames_l)
+    est_t = np.stack([T[:3, 3] for T in slam.logger.poses_wc])
+    gt_t = np.stack([T[:3, 3] for T in poses_gt])
+    err = ate_rmse(est_t, gt_t)
+    assert err < 0.08, f"pipelined loop-closure ATE {err:.3f}"
+    # no single-frame discontinuity bigger than the inter-frame motion
+    # envelope (a lost correction shows up as a pipeline_depth-frame jump)
+    steps = np.linalg.norm(np.diff(est_t, axis=0), axis=1)
+    assert steps.max() < 0.25, f"trajectory jump {steps.max():.3f} m"
+
+
 def test_relocalization_after_kidnap():
     """'Kidnapped robot': blind the camera for several frames, then show a
     previously-mapped view far from the last pose — the system must
