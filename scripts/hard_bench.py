@@ -194,12 +194,15 @@ def run_config(name, cfg, L, R, gt, max_frames=None):
     mono = bool(cfg.get("mono", 0))
     t0 = time.time()
     t_warm = 0.0
+    frame_ms = np.zeros(n, np.float64)
     for i in range(n):
         il = L[i].astype(np.float32)
+        tf = time.time()
         if mono:
             slam.process_mono(il, time=i * 0.05)
         else:
             slam.process_stereo(il, R[i].astype(np.float32), time=i * 0.05)
+        frame_ms[i] = (time.time() - tf) * 1e3
         if i == WARMUP_FRAMES - 1:
             t_warm = time.time() - t0
     slam.flush()
@@ -223,10 +226,17 @@ def run_config(name, cfg, L, R, gt, max_frames=None):
     # with cruise and made LC tiers look 2.5x slower than they are)
     fps_steady = ((n - WARMUP_FRAMES) / (dt - t_warm)
                   if n > WARMUP_FRAMES and dt > t_warm else n / dt)
+    # per-frame latency percentiles AFTER warmup: fps_steady alone hides the
+    # tail (KF commits, BA solves, late jit families) — p50 is the cruise
+    # frame, p99/max expose the stalls that actually set the wall clock
+    steady_ms = frame_ms[WARMUP_FRAMES:] if n > WARMUP_FRAMES else frame_ms
     row = {
         "config": name, "preset": preset, "frames": n,
         "fps": round(n / dt, 2),
         "fps_steady": round(fps_steady, 2),
+        "frame_ms_p50": round(float(np.percentile(steady_ms, 50)), 1),
+        "frame_ms_p90": round(float(np.percentile(steady_ms, 90)), 1),
+        "frame_ms_p99": round(float(np.percentile(steady_ms, 99)), 1),
         "warmup_s": round(t_warm, 1),
         "ate_rmse_m": round(float(ate), 4),
         "tracked_pct": round(100.0 * ok.mean(), 1),
@@ -337,7 +347,8 @@ def write_table(rows, args):
     # remaining tiers (advisor r3 #1)
     backend = next((r["backend"] for r in rows if r.get("backend")),
                    "unknown")
-    cols = ["config", "preset", "frames", "fps", "fps_steady", "warmup_s",
+    cols = ["config", "preset", "frames", "fps", "fps_steady",
+            "frame_ms_p50", "frame_ms_p90", "frame_ms_p99", "warmup_s",
             "ate_rmse_m", "ate_wlc_opt_m", "tracked_pct", "keyframes",
             "landmarks_3d", "loops", "ba_truncations"]
     with open(args.out, "w") as f:
