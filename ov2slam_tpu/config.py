@@ -183,6 +183,16 @@ class SlamParams:
     # (parallel.sharded.solve_ba_sharded — observation-parallel normal
     # equations psum'd over ICI). 0/1 = single device.
     n_devices: int = 0
+    # Compile every keyframe-rate / loop-closure jit family on dummy data in
+    # a background thread at startup (XLA compiles release the GIL). Loop
+    # closures fire long after the tracking warmup window; without this the
+    # first closure pays a multi-second trace+compile stall mid-pipeline.
+    prewarm: bool = True
+    # Wall-clock budget (seconds) for the post-loop-closure loose BA — the
+    # analogue of the reference's Ceres max_solver_time_in_seconds (0.2 s
+    # local BA, x2 offline, optimizer.cpp:460-468): LM runs in fixed-size
+    # chunks with a host clock check between chunks. 0 disables the bound.
+    lc_loose_ba_time_s: float = 2.0
     dtype: str = "float32"
     # Global matmul precision. TPU MXU default is bfloat16 inputs, which is
     # fine for image filtering but silently degrades every geometry matmul
@@ -318,5 +328,7 @@ class SlamParams:
             async_ba=b("async_ba", bool(int(_get(d, "force_realtime", 0)))),
             pipeline_depth=int(_get(d, "pipeline_depth", 6)),
             n_devices=int(_get(d, "n_devices", 0)),
+            prewarm=b("prewarm", True),
+            lc_loose_ba_time_s=float(_get(d, "lc_loose_ba_time_s", 2.0)),
             matmul_precision=str(_get(d, "matmul_precision", "highest")),
         )

@@ -119,7 +119,8 @@ def eigh_jacobi(A: jnp.ndarray, sweeps: int = 6
             m = np.zeros((n, n), np.float64)
             m[p, q] = 1.0
             onehots[(p, q)] = jnp.asarray(m, dt)
-    for _ in range(sweeps):
+    def one_sweep(_, carry):
+        A, V = carry
         for p in range(n - 1):
             for q in range(p + 1, n):
                 app = A[..., p, p]
@@ -143,6 +144,13 @@ def eigh_jacobi(A: jnp.ndarray, sweeps: int = 6
                 Jt = jnp.swapaxes(J, -1, -2)
                 A = J @ A @ Jt
                 V = V @ Jt
+        return A, V
+
+    # roll the sweeps (keep the (p, q) cycle unrolled — indices must be
+    # static for the one-hot rotation assembly): one sweep of HLO instead of
+    # six; at 9x9 vmapped over hundreds of RANSAC hypotheses the unrolled
+    # form dominated XLA compile time (segfaulted the CPU LLVM backend)
+    A, V = jax.lax.fori_loop(0, sweeps, one_sweep, (A, V))
     w = jnp.diagonal(A, axis1=-2, axis2=-1)
     order = jnp.argsort(w, axis=-1)
     w = jnp.take_along_axis(w, order, axis=-1)

@@ -149,6 +149,40 @@ def decompose_essential(
     return SE3(cands_R[k], cands_t[k])
 
 
+def refine_essential_pose(T: SE3, x_a: jnp.ndarray, x_b: jnp.ndarray,
+                          w: jnp.ndarray, iters: int = 8) -> SE3:
+    """Gauss-Newton refinement of a relative pose on weighted Sampson
+    residuals (the gold-standard local polish after RANSAC; the reference
+    relies on OpenGV's optimize_nonlinear refine flag,
+    multi_view_geometry.cpp:214-216). T is the b-to-a transform; |t| is
+    renormalized each step (scale is unobservable)."""
+
+    def resid(xi, R, t):
+        Td = lie.se3_boxplus_left(SE3(R, t), xi)
+        tn = Td.t / jnp.maximum(jnp.linalg.norm(Td.t), 1e-12)
+        E = lie.hat(tn) @ Td.R
+        Ex_b = jnp.einsum("ij,nj->ni", E, x_b)
+        Etx_a = jnp.einsum("ji,nj->ni", E, x_a)
+        num = jnp.sum(x_a * Ex_b, axis=-1)
+        den = (Ex_b[:, 0] ** 2 + Ex_b[:, 1] ** 2
+               + Etx_a[:, 0] ** 2 + Etx_a[:, 1] ** 2)
+        return num / jnp.sqrt(jnp.maximum(den, 1e-18)) * w
+
+    def step(carry, _):
+        R, t = carry
+        z = jnp.zeros(6, x_a.dtype)
+        r = resid(z, R, t)
+        J = jax.jacfwd(resid)(z, R, t)               # (N, 6)
+        H = J.T @ J + 1e-9 * jnp.eye(6, dtype=x_a.dtype)
+        g = J.T @ r
+        Tn = lie.se3_boxplus_left(SE3(R, t), -smallalg.solve_spd(H, g))
+        tn = Tn.t / jnp.maximum(jnp.linalg.norm(Tn.t), 1e-12)
+        return (Tn.R, tn), None
+
+    (R_f, t_f), _ = jax.lax.scan(step, (T.R, T.t), None, length=iters)
+    return SE3(R_f, t_f)
+
+
 class RansacResult(NamedTuple):
     model: jnp.ndarray       # best model params
     inliers: jnp.ndarray     # (N,) bool
@@ -156,7 +190,7 @@ class RansacResult(NamedTuple):
     success: jnp.ndarray     # scalar bool
 
 
-@functools.partial(jax.jit, static_argnames=("n_hyps",))
+@functools.partial(jax.jit, static_argnames=("n_hyps", "solver", "lmeds"))
 def essential_ransac(
     bv_a: jnp.ndarray,       # (N, 3) unit bearings in frame a
     bv_b: jnp.ndarray,       # (N, 3)
@@ -164,10 +198,21 @@ def essential_ransac(
     key: jnp.ndarray,
     err_th: float,           # Sampson threshold on normalized coords
     n_hyps: int = 256,
+    solver: str = "nister",
+    lmeds: bool = False,
 ) -> RansacResult:
-    """Batched 8-pt essential RANSAC (replaces the reference's 5-pt Nister
-    RANSAC, multi_view_geometry.cpp:600-771): K vmapped hypotheses, joint
-    (K, N) Sampson scoring, best-model inlier re-fit."""
+    """Batched essential-matrix RANSAC (reference: 5-pt Nister RANSAC,
+    multi_view_geometry.cpp:600-771): K vmapped minimal-solver hypotheses,
+    joint (K*, N) Sampson scoring, best-model inlier re-fit.
+
+    solver="nister" (default, matches the reference backend) runs the 5-point
+    minimal solver — safe for coplanar scenes, up to 10 models per sample;
+    solver="8pt" runs the linear 8-point solver (planar-degenerate, kept as
+    the cheaper fallback and as the inlier re-fit).
+
+    lmeds=True scores hypotheses by median squared Sampson error instead of
+    inlier count (the reference's LMedS branch, multi_view_geometry.cpp:
+    144-380 via use_lmeds); the returned inlier set still uses err_th."""
     N = bv_a.shape[0]
     # normalized homogeneous coords (z=1) are better conditioned for 8pt
     x_a = bv_a / jnp.maximum(jnp.abs(bv_a[..., 2:3]), 1e-9)
@@ -176,16 +221,97 @@ def essential_ransac(
     # weighted sampling restricted to valid entries
     p = valid.astype(jnp.float32)
     p = p / jnp.maximum(jnp.sum(p), 1.0)
-    idx = jax.random.choice(key, N, shape=(n_hyps, 8), p=p)
 
-    def hyp(i):
-        return _eight_point(x_a[i], x_b[i])
+    if solver == "nister":
+        from ov2slam_tpu.ops import fivepoint
+        idx = jax.random.choice(key, N, shape=(n_hyps, 5), p=p)
 
-    Es = jax.vmap(hyp)(idx)                                      # (K, 3, 3)
-    errs = jax.vmap(lambda E: sampson_dist(E, x_a, x_b))(Es)     # (K, N)
-    inl = (errs < err_th * err_th) & valid[None, :]
+        def hyp5(i):
+            return fivepoint.five_point_essential(x_a[i], x_b[i])
+
+        Es, oks = jax.vmap(hyp5)(idx)            # (K, 10, 3, 3), (K, 10)
+        Es = Es.reshape(-1, 3, 3)
+        oks = oks.reshape(-1)
+    else:
+        idx = jax.random.choice(key, N, shape=(n_hyps, 8), p=p)
+
+        def hyp(i):
+            return _eight_point(x_a[i], x_b[i])
+
+        Es = jax.vmap(hyp)(idx)                                  # (K, 3, 3)
+        oks = jnp.ones(Es.shape[0], bool)
+
+    errs = jax.vmap(lambda E: sampson_dist(E, x_a, x_b))(Es)     # (K*, N)
+    inl = (errs < err_th * err_th) & valid[None, :] & oks[:, None]
     counts = jnp.sum(inl, axis=1)
-    k = jnp.argmax(counts)
+    if lmeds:
+        # median of squared Sampson errors over the valid correspondences
+        # (invalid entries padded with +inf sort to the tail; the median
+        # index is the live count's midpoint)
+        n_valid = jnp.sum(valid)
+        big = jnp.full_like(errs, jnp.inf)
+        errs_v = jnp.where(valid[None, :], errs, big)
+        srt = jnp.sort(errs_v, axis=1)
+        med = srt[:, jnp.maximum(n_valid // 2, 1)]
+        med = jnp.where(oks, med, jnp.inf)
+        k = jnp.argmin(med)
+    else:
+        # score: most inliers, then lowest mean inlier error (bounded < 1 so
+        # it never outranks a count difference)
+        mean_err = (jnp.sum(jnp.where(inl, errs, 0.0), axis=1)
+                    / jnp.maximum(counts, 1))
+        val = counts.astype(jnp.float32) - mean_err / (1.0 + mean_err)
+        val = jnp.where(oks, val, -jnp.inf)
+        # disambiguation among near-tie top models. Two distinct exact
+        # ambiguities live here on planar scenes:
+        #   1. the twisted pair (same t, R flipped pi about t) — identical
+        #      Sampson residuals, separated by CHEIRALITY (points in front
+        #      of both cameras, Nister's resolution);
+        #   2. the Faugeras-Lustman TWO-FOLD planar ambiguity — two exact
+        #      (R, t, plane) interpretations of the same two views, BOTH
+        #      fully cheirality-consistent, structurally inseparable from
+        #      two views alone. A VO front-end sees temporally adjacent
+        #      frames, so the SMALL-MOTION prior picks correctly: the
+        #      conjugate solution's rotation is composed with a reflection
+        #      about the plane and is generically much larger.
+        # Decompose the top-8 models; pick lexicographically
+        # (inlier count, chirality count, smaller rotation angle).
+        TOPJ = 8
+        top_val, top_idx = jax.lax.top_k(val, TOPJ)
+
+        def chirality_count(E, inl_k):
+            u, _, vt = smallalg.svd3(E)
+            d = jnp.linalg.det(u) * jnp.linalg.det(vt)
+            vt = vt * jnp.where(d < 0, -1.0, 1.0)
+            Wm = jnp.asarray([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0],
+                              [0.0, 0.0, 1.0]], E.dtype)
+            tvec = u[:, 2]
+
+            def cnt(R, tt):
+                T = SE3(R, tt)
+                X_a = triangulate_midpoint(T, x_a, x_b)
+                X_b = jnp.einsum("ij,...j->...i", R.T, X_a - tt)
+                return jnp.sum((X_a[..., 2] > 0) & (X_b[..., 2] > 0) & inl_k)
+
+            Ra, Rb = u @ Wm @ vt, u @ Wm.T @ vt
+            cs = jnp.stack([cnt(Ra, tvec), cnt(Ra, -tvec),
+                            cnt(Rb, tvec), cnt(Rb, -tvec)])
+            b = jnp.argmax(cs)
+            Rbest = jnp.where(b < 2, Ra, Rb)
+            ang = jnp.arccos(jnp.clip(
+                (jnp.trace(Rbest) - 1.0) * 0.5, -1.0, 1.0))
+            return jnp.max(cs), ang
+
+        chir, ang = jax.vmap(chirality_count)(Es[top_idx], inl[top_idx])
+        # arbitration only applies between models of (near-)equal inlier
+        # support — the ambiguity case; it never overrides a count win.
+        # Scales: one chirality count (100) outweighs any angle gap (< pi);
+        # val's tiebreak (<= 1e-4 within the near-tie band) never outweighs
+        # a meaningful angle gap.
+        near = top_val >= top_val[0] - 1.0
+        score = chir.astype(jnp.float32) * 100.0 - ang + top_val * 1e-4
+        j = jnp.argmax(jnp.where(near, score, -jnp.inf))
+        k = top_idx[j]
     best_inl = inl[k]
 
     # re-fit on the best inlier set (masked rows -> zero rows in A)
@@ -206,11 +332,32 @@ def essential_ransac(
     err_best = sampson_dist(E_best, x_a, x_b)
     inl_best = (err_best < err_th * err_th) & valid
     n_in = jnp.sum(inl_best)
-    # fall back to the raw hypothesis if the refit lost inliers
-    use_refit = n_in >= counts[k]
-    E_fin = jnp.where(use_refit, E_best, Es[k])
-    inl_fin = jnp.where(use_refit, inl_best, best_inl)
-    n_fin = jnp.maximum(n_in, counts[k])
+
+    # manifold polish: decompose the winner (chirality-correct branch) and
+    # Gauss-Newton the pose on its inlier Sampson residuals — this is what
+    # actually sharpens the model when the inlier count saturates (planar
+    # scenes, low-parallax frames) and the minimal-sample scatter is the
+    # accuracy limit
+    T_gn = decompose_essential(Es[k], x_a, x_b, best_inl)
+    T_gn = refine_essential_pose(T_gn, x_a, x_b, best_inl.astype(x_a.dtype))
+    E_gn = lie.hat(T_gn.t) @ T_gn.R
+    err_gn = sampson_dist(E_gn, x_a, x_b)
+    inl_gn = (err_gn < err_th * err_th) & valid
+    n_gn = jnp.sum(inl_gn)
+
+    # selection: the linear refit only wins by STRICTLY adding inliers (on
+    # planar scenes the whole degenerate E family scores every point an
+    # inlier, so an equal-count 8-pt refit can silently replace a correct
+    # model); the manifold polish wins at equal count (it only moves within
+    # the winner's own pose branch)
+    use_gn = n_gn >= counts[k]
+    E_mid = jnp.where(use_gn, E_gn, Es[k])
+    inl_mid = jnp.where(use_gn, inl_gn, best_inl)
+    n_mid = jnp.where(use_gn, n_gn, counts[k])
+    use_refit = n_in > n_mid
+    E_fin = jnp.where(use_refit, E_best, E_mid)
+    inl_fin = jnp.where(use_refit, inl_best, inl_mid)
+    n_fin = jnp.maximum(n_in, n_mid)
     return RansacResult(E_fin, inl_fin, n_fin, n_fin >= 8)
 
 

@@ -17,6 +17,8 @@ import os
 import sys
 import time as _time
 
+import numpy as np
+
 
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
@@ -31,6 +33,12 @@ def main(argv=None):
                          "keyframe decisions quantize to chunk ends)")
     ap.add_argument("--no-cache", action="store_true",
                     help="disable the persistent XLA compilation cache")
+    ap.add_argument("--viz-every", type=int, default=0, metavar="N",
+                    help="every N frames dump the tracked-keypoint overlay "
+                         "(viz/track_FFFFFF.png) and refresh the map + KF "
+                         "trajectory PLYs under --out (the reference's "
+                         "frame-rate/KF-rate rviz hooks, ov2slam.cpp:461-480 "
+                         "+ ros_visualizer.hpp:61-311, as files)")
     args = ap.parse_args(argv)
 
     if not args.no_cache:
@@ -87,6 +95,22 @@ def main(argv=None):
         else:
             slam.process_mono(iml, t)
         n += 1
+        if args.viz_every and n % args.viz_every == 0:
+            from ov2slam_tpu import viz
+            viz_dir = os.path.join(args.out, "viz")
+            os.makedirs(viz_dir, exist_ok=True)
+            try:
+                import cv2
+                # overlay on the image the tracker actually sees (rectified
+                # + CLAHE'd pyramid level 0) so keypoints line up
+                base = (slam.fe_state.pyr[0]
+                        if getattr(slam, "fe_state", None) is not None
+                        else iml)
+                img = viz.draw_track_image(np.asarray(base), slam)
+                cv2.imwrite(os.path.join(viz_dir, f"track_{n:06d}.png"), img)
+            except ImportError:
+                pass            # overlay needs cv2; PLYs below do not
+            viz.export_map_ply(slam, viz_dir)
         if args.max_frames and n >= args.max_frames:
             break
         if n % 200 == 0:

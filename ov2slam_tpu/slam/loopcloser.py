@@ -60,6 +60,65 @@ class LoopCloser:
         return jax.random.PRNGKey(i if self.params.bdo_random else 0)
 
     # ------------------------------------------------------------------
+    def prewarm(self, kp_cap: int, n_cells: int = 0):
+        """Compile every jit family the loop-closure / relocalization
+        cascade will dispatch, on dummy data with the run-constant shapes.
+
+        Loop closures fire mid-run, long after the tracking warmup window;
+        without this their first-encounter trace+compile (tens of seconds on
+        the tunneled TPU, round-4/5 profiling) stalls the live pipeline at
+        exactly the frame a loop lands. Meant to run from a background
+        thread at startup (compiles release the GIL)."""
+        p = self.params
+        key = jax.random.PRNGKey(0)
+        focal = float(self.cam_l.fx + self.cam_l.fy) * 0.5
+        outs = []
+        d_cap = jnp.zeros((kp_cap, 8), jnp.uint32)
+        m_cap = jnp.zeros(kp_cap, bool).at[:32].set(True)
+        outs += list(desc_mod.knn2_match(d_cap, m_cap, d_cap, m_cap))
+        if n_cells:
+            d_c = jnp.zeros((n_cells, 8), jnp.uint32)
+            m_c = jnp.zeros(n_cells, bool).at[:32].set(True)
+            outs += list(desc_mod.knn2_match(d_c, m_c, d_cap, m_cap))
+        bv = jnp.concatenate(
+            [jax.random.normal(key, (512, 2)) * 0.2, jnp.ones((512, 1))], -1)
+        bv = bv / jnp.linalg.norm(bv, axis=-1, keepdims=True)
+        ev = jnp.ones(512, bool)
+        outs.append(mvg.essential_ransac(
+            bv, bv, ev, key, err_th=p.fransac_err / focal,
+            n_hyps=1024).n_inliers)
+        Xw = jax.random.normal(key, (512, 3)) + jnp.asarray([0.0, 0.0, 5.0])
+        T0, _, n_in, _ = mvg.p3p_ransac(
+            Xw, bv, ev, key, err_th_norm=p.fransac_err / focal, n_hyps=512)
+        outs.append(n_in)
+        cal = fe_mod.calib_of(self.cam_l)
+        unpx = jax.random.normal(key, (512, 2)) * 50 + 300
+        outs.append(pnp_mod.pnp_robust_then_l2(
+            cal, T0, Xw, unpx, ev, robust_th2=p.robust_mono_th).n_inliers)
+        Nbig = 1 << max(9, (kp_cap - 1).bit_length())
+        for N in {Nbig, kp_cap}:
+            outs.append(pnp_mod.pnp_robust_then_l2(
+                cal, T0, jnp.zeros((N, 3)) + jnp.asarray([0.0, 0.0, 5.0]),
+                jnp.zeros((N, 2)) + 300.0, jnp.zeros(N, bool).at[:16].set(True),
+                robust_th2=p.robust_mono_th).n_inliers)
+        # pose graph buckets (F = next pow2 of span length)
+        for F in (8, 16, 32, 64):
+            E = F + 4
+            prob = pg_mod.PoseGraphProblem(
+                R=jnp.tile(jnp.eye(3, dtype=jnp.float32), (F, 1, 1)),
+                t=jnp.zeros((F, 3), jnp.float32),
+                pose_opt=jnp.zeros(F, bool).at[1:6].set(True),
+                edge_i=jnp.zeros(E, jnp.int32).at[:5].set(
+                    jnp.arange(1, 6, dtype=jnp.int32)),
+                edge_j=jnp.zeros(E, jnp.int32).at[:5].set(
+                    jnp.arange(0, 5, dtype=jnp.int32)),
+                meas_R=jnp.tile(jnp.eye(3, dtype=jnp.float32), (E, 1, 1)),
+                meas_t=jnp.zeros((E, 3), jnp.float32),
+                edge_weight=jnp.zeros(E, jnp.float32).at[:5].set(1.0))
+            outs.append(pg_mod.solve_pose_graph(prob, max_iters=10).cost)
+        jax.block_until_ready(outs)
+
+    # ------------------------------------------------------------------
     def process_kf(self, m: MapStore, kfid: int,
                    key=None) -> Optional[LoopClosureEvent]:
         """Returns an event if a loop was closed (reference run loop,
@@ -99,22 +158,24 @@ class LoopCloser:
         return ev
 
     # ------------------------------------------------------------------
-    def relocalize(self, m: MapStore, descs: np.ndarray, bvs: np.ndarray,
-                   unpxs: np.ndarray, key=None):
+    def relocalize(self, m: MapStore, descs: np.ndarray, desc_valid,
+                   bvs: np.ndarray, unpxs: np.ndarray, key=None):
         """Relocalization from total tracking loss: query the place index
         with the lost frame's descriptors (without inserting), verify the
         best candidate geometrically (kNN + P3P + robust PnP), return the
-        recovered world-to-cam pose or None.
+        recovered world-to-cam pose or None. All arrays are fixed-shape
+        padded with `desc_valid` marking live rows.
 
         (The reference has no global relocalization — loop closing only runs
         on keyframes; this extends the same machinery to lost frames.)"""
-        if len(descs) < 20:
+        if desc_valid.sum() < 20:
             return None
-        hits = self.index_query(descs)
+        hits = self.index_query(descs[desc_valid])
         for cand_kf, _score in hits[:3]:
             if cand_kf not in m.keyframes:
                 continue
-            T = self._match_and_pnp(m, cand_kf, descs, bvs, unpxs, key)
+            T = self._match_and_pnp(m, cand_kf, descs, desc_valid, bvs,
+                                    unpxs, key)
             if T is not None:
                 return T, cand_kf
         return None
@@ -122,19 +183,23 @@ class LoopCloser:
     def index_query(self, descs: np.ndarray):
         return self.detector.index.query(descs, max_image_id=1 << 30, topk=5)
 
-    def _match_and_pnp(self, m: MapStore, cand_kf: int, descs, bvs, unpxs,
-                       key):
+    def _match_and_pnp(self, m: MapStore, cand_kf: int, descs, desc_valid,
+                       bvs, unpxs, key):
+        """descs/desc_valid/bvs/unpxs are FIXED-SHAPE padded arrays (shape
+        families are per-run constants): every jit call here keeps a single
+        compile signature — round-5 fix for data-dependent-shape compiles
+        stalling the pipeline mid-run."""
         p = self.params
+        from ov2slam_tpu.utils import fetch_np
         mrec = m.keyframes[cand_kf]
         loop_mask = mrec.valid & mrec.desc_ok & mrec.is3d & (mrec.lmid >= 0)
-        loop_idx = np.nonzero(loop_mask)[0]
-        if len(loop_idx) < 20:
+        if loop_mask.sum() < 20:
             return None
-        best, bd, sd = desc_mod.knn2_match(
-            jnp.asarray(descs), jnp.ones(len(descs), bool),
-            jnp.asarray(mrec.desc[loop_idx]), jnp.ones(len(loop_idx), bool))
-        best = np.asarray(best); bd = np.asarray(bd); sd = np.asarray(sd)
-        good = (bd <= 0.85 * sd) & (bd < p.fmax_desc_dist * 2.0 * 256)
+        best, bd, sd = fetch_np(*desc_mod.knn2_match(
+            jnp.asarray(descs), jnp.asarray(desc_valid),
+            jnp.asarray(mrec.desc), jnp.asarray(loop_mask)))
+        good = (desc_valid & (bd <= 0.85 * sd)
+                & (bd < p.fmax_desc_dist * 2.0 * 256))
         if good.sum() < 15:
             return None
         N = 512
@@ -144,8 +209,8 @@ class LoopCloser:
         val = np.zeros(N, bool)
         j = 0
         for i in np.nonzero(good)[0]:
-            lm = int(mrec.lmid[loop_idx[best[i]]])
-            if not (m.lm_valid[lm] and m.lm_is3d[lm]) or j >= N:
+            lm = int(mrec.lmid[best[i]])
+            if lm < 0 or not (m.lm_valid[lm] and m.lm_is3d[lm]) or j >= N:
                 continue
             Xw[j] = m.lm_pos[lm]; bv[j] = bvs[i]; unpx[j] = unpxs[i]
             val[j] = True; j += 1
@@ -157,16 +222,16 @@ class LoopCloser:
         T_est, inl, n_in, okflag = mvg.p3p_ransac(
             jnp.asarray(Xw), jnp.asarray(bv), jnp.asarray(val), key,
             err_th_norm=p.fransac_err / focal, n_hyps=512)
-        if not bool(okflag) or int(n_in) < 10:
-            return None
         pnp = pnp_mod.pnp_robust_then_l2(
             fe_mod.calib_of(self.cam_l), T_est, jnp.asarray(Xw),
             jnp.asarray(unpx), inl, robust_th2=p.robust_mono_th)
-        if int(pnp.n_inliers) < 30:
+        okflag, n_in, n_pnp, R_np, t_np = fetch_np(
+            okflag, n_in, pnp.n_inliers, pnp.T_cw.R, pnp.T_cw.t)
+        if not bool(okflag) or int(n_in) < 10 or int(n_pnp) < 30:
             return None
         T = np.eye(4, dtype=np.float32)
-        T[:3, :3] = np.asarray(pnp.T_cw.R)
-        T[:3, 3] = np.asarray(pnp.T_cw.t)
+        T[:3, :3] = R_np
+        T[:3, 3] = t_np
         return T
 
     # ------------------------------------------------------------------
@@ -176,25 +241,26 @@ class LoopCloser:
         rec = m.keyframes[kfid]
         mrec = m.keyframes[match_kf]
 
-        # ---- kNN descriptor matching cur -> loop KF (loop_closer.cpp:378) --
+        # ---- kNN descriptor matching cur -> loop KF (loop_closer.cpp:378).
+        # Full fixed-shape tables with masks (NOT index-compacted): every
+        # compile signature here is a per-run constant — round-4 profiling
+        # showed the data-dependent shapes recompiling knn2_match on every
+        # loop candidate, each a multi-second stall ----
+        from ov2slam_tpu.utils import fetch_np
         cur_mask = rec.valid & rec.desc_ok & (rec.lmid >= 0)
         loop_mask = (mrec.valid & mrec.desc_ok & mrec.is3d
                      & (mrec.lmid >= 0))
-        cur_idx = np.nonzero(cur_mask)[0]
-        loop_idx = np.nonzero(loop_mask)[0]
-        if len(cur_idx) < 20 or len(loop_idx) < 20:
+        if cur_mask.sum() < 20 or loop_mask.sum() < 20:
             return None
-        best, bd, sd = desc_mod.knn2_match(
-            jnp.asarray(rec.desc[cur_idx]), jnp.ones(len(cur_idx), bool),
-            jnp.asarray(mrec.desc[loop_idx]), jnp.ones(len(loop_idx), bool))
-        best = np.asarray(best)
-        bd = np.asarray(bd)
-        sd = np.asarray(sd)
-        good = (bd <= 0.85 * sd) & (bd < p.fmax_desc_dist * 2.0 * 256)
+        best, bd, sd = fetch_np(*desc_mod.knn2_match(
+            jnp.asarray(rec.desc), jnp.asarray(cur_mask),
+            jnp.asarray(mrec.desc), jnp.asarray(loop_mask)))
+        good = (cur_mask & (bd <= 0.85 * sd)
+                & (bd < p.fmax_desc_dist * 2.0 * 256))
         if good.sum() < 15:
             return None
 
-        # ---- epipolar pre-filter (loop_closer.cpp:462-499): a 5-pt/8-pt
+        # ---- epipolar pre-filter (loop_closer.cpp:462-499): a 5-pt
         # essential RANSAC over the kNN matches rejects gross outliers
         # cheaply before the P3P + PnP cascade ----
         gi = np.nonzero(good)[0]
@@ -203,16 +269,17 @@ class LoopCloser:
         bvb = np.zeros((Npad, 3), np.float32); bvb[:, 2] = 1.0
         evalid = np.zeros(Npad, bool)
         ne = min(len(gi), Npad)
-        bva[:ne] = mrec.bv[loop_idx[best[gi[:ne]]]]
-        bvb[:ne] = rec.bv[cur_idx[gi[:ne]]]
+        bva[:ne] = mrec.bv[best[gi[:ne]]]
+        bvb[:ne] = rec.bv[gi[:ne]]
         evalid[:ne] = True
         focal_e = float(self.cam_l.fx + self.cam_l.fy) * 0.5
         eres = mvg.essential_ransac(
             jnp.asarray(bva), jnp.asarray(bvb), jnp.asarray(evalid),
             self._key(kfid ^ 0x5A5A),
             err_th=p.fransac_err / focal_e, n_hyps=1024)
-        if bool(eres.success):
-            einl = np.asarray(eres.inliers)[:ne]
+        esucc, einl_np = fetch_np(eres.success, eres.inliers)
+        if bool(esucc):
+            einl = einl_np[:ne]
             good[gi[:ne][~einl]] = False
             if good.sum() < 15:
                 return None
@@ -220,10 +287,9 @@ class LoopCloser:
         # matched pairs: current kp slot s -> loop landmark id
         pairs = []
         for i in np.nonzero(good)[0]:
-            s = int(cur_idx[i])
-            lm = int(mrec.lmid[loop_idx[best[i]]])
-            if m.lm_valid[lm] and m.lm_is3d[lm]:
-                pairs.append((s, lm))
+            lm = int(mrec.lmid[best[i]])
+            if lm >= 0 and m.lm_valid[lm] and m.lm_is3d[lm]:
+                pairs.append((int(i), lm))
         if len(pairs) < 15:
             return None
 
@@ -245,7 +311,8 @@ class LoopCloser:
         T_est, inl, n_in, okflag = mvg.p3p_ransac(
             jnp.asarray(Xw), jnp.asarray(bv), jnp.asarray(val), key,
             err_th_norm=p.fransac_err / focal, n_hyps=512)
-        if not bool(okflag) or int(n_in) < 10:
+        okflag_np, n_in_np = fetch_np(okflag, n_in)
+        if not bool(okflag_np) or int(n_in_np) < 10:
             return None
 
         # ---- loop-local-map expansion (trackLoopLocalMap,
@@ -257,7 +324,10 @@ class LoopCloser:
         pairs = self._expand_loop_matches(m, rec, match_kf, pairs, T_est)
         n_pairs_local = len(pairs)
 
-        N = 1 << max(9, (len(pairs) - 1).bit_length() if pairs else 9)
+        # fixed shape: pairs are keyed by kp slot, so the kp table capacity
+        # bounds them — one compile signature per run (round-5: the old
+        # 1 << bit_length(len(pairs)) shape recompiled the PnP per closure)
+        N = 1 << max(9, (rec.px.shape[0] - 1).bit_length())
         Xw = np.zeros((N, 3), np.float32)
         bv = np.zeros((N, 3), np.float32)
         bv[:, 2] = 1.0
@@ -271,14 +341,16 @@ class LoopCloser:
         pnp = pnp_mod.pnp_robust_then_l2(
             fe_mod.calib_of(self.cam_l), T_est, jnp.asarray(Xw),
             jnp.asarray(unpx), jnp.asarray(val), robust_th2=p.robust_mono_th)
-        n_inl = int(pnp.n_inliers)
+        n_inl_np, R_np, t_np, inl_pnp_np = fetch_np(
+            pnp.n_inliers, pnp.T_cw.R, pnp.T_cw.t, pnp.inliers)
+        n_inl = int(n_inl_np)
         if n_inl < 30:           # reference threshold (loop_closer.cpp:304)
             return None
 
         # corrected pose of the query KF
         T_corr = np.eye(4, dtype=np.float32)
-        T_corr[:3, :3] = np.asarray(pnp.T_cw.R)
-        T_corr[:3, 3] = np.asarray(pnp.T_cw.t)
+        T_corr[:3, :3] = R_np
+        T_corr[:3, 3] = t_np
         T_old = rec.T_cw
         jump = float(np.linalg.norm(
             np.linalg.inv(T_corr)[:3, 3] - np.linalg.inv(T_old)[:3, 3]))
@@ -292,7 +364,7 @@ class LoopCloser:
         # ---- merge the verified landmark pairs (map_manager.cpp:801-882),
         # batched: one vectorized re-point pass per affected keyframe ----
         from ov2slam_tpu.io.profiler import Profiler
-        inl_np = np.asarray(pnp.inliers)
+        inl_np = inl_pnp_np
         mdst, msrc = [], []
         for j, (s, lm) in enumerate(pairs[:N]):
             if not inl_np[j]:
@@ -324,7 +396,13 @@ class LoopCloser:
                 # KF] span, loop KF gauge-fixed — the reference's looseBA
                 # range, optimizer.cpp:995-1024 (falls back to overlapping
                 # dense-window sweeps only beyond the global capacity)
-                self.estimator.span_ba(m, span, max_iters=6)
+                # wall-clock-bounded like the reference's max_solver_time
+                # (0.2 s local, x2 offline, optimizer.cpp:460-468) — an
+                # unbounded span solve at endurance scale stalls the live
+                # pipeline for the whole padded problem
+                self.estimator.span_ba(
+                    m, span, max_iters=6,
+                    time_budget_s=p.lc_loose_ba_time_s or None)
                 self._recompute_landmarks(m)
 
         return LoopClosureEvent(

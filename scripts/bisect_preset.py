@@ -48,11 +48,17 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=1000)
     ap.add_argument("--variants", type=str, default="")
-    ap.add_argument("--cache", type=str, default="/tmp/ov2slam_hard_seq")
+    # default cache is bisect-specific AND frame-count-suffixed: sharing
+    # hard_bench's directory would silently re-render + clobber it whenever
+    # the frame counts differ, invalidating concurrent hard_bench runs
+    ap.add_argument("--cache", type=str, default="")
     ap.add_argument("--inproc", type=str, default="")
     args = ap.parse_args()
 
     import hard_bench as hb
+
+    if not args.cache:
+        args.cache = f"/tmp/ov2slam_bisect_seq_{args.frames}"
 
     vs = variants()
     if args.inproc:

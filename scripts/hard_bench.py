@@ -378,24 +378,10 @@ def write_table(rows, args):
                 "~50-KF sequences. `ba_truncations` counts BA windows that "
                 "overflowed bucket capacity (observations or landmarks "
                 "silently dropped) — 0 means no silent caps fired.\n\n")
-        f.write("Preset-knob attribution (round-4 bisect, "
-                "scripts/bisect_preset.py): the accurate_stereo raw-ATE gap "
-                "vs the round-2 hand-built config (0.0216) is fully covered "
-                "by knobs the REFERENCE's own accurate preset ships "
-                "(/root/reference/parameters_files/accurate/euroc/"
-                "euroc_stereo.yaml: force_realtime=1, nmin_covscore=25, "
-                "nmaxdist=35; the hand config ran offline with covscore 15 / "
-                "nmaxdist 45). Measured on this sequence: shipped preset "
-                "0.0395 raw / 0.0228 wlc_opt; force_realtime=0 (offline "
-                "mode, no pipelining lag) 0.0310 / 0.0186 — realtime "
-                "pipelining (KF commit + BA writeback staged over ~4-10 "
-                "frames, mirroring the reference's realtime frame-dropping "
-                "trade) is the dominant term; the remainder is the smaller "
-                "BA covisibility window (nmin_covscore 25 vs 15). "
-                "async_ba=0 under force_realtime=1 is NOT a shipped "
-                "combination and measures WORSE (0.0531): a synchronous "
-                "writeback mid-pipeline is overwritten by in-flight frame "
-                "poses dispatched under the pre-BA prior.\n\n")
+        f.write("Preset-knob ATE attribution lives in BENCH_NOTES.md "
+                "(hand-written, per-run numbers from scripts/"
+                "bisect_preset.py — kept out of this generated table so "
+                "regeneration can't carry stale run-specific prose).\n\n")
         f.write("| " + " | ".join(cols) + " |\n")
         f.write("|" + "---|" * len(cols) + "\n")
         for r in rows:

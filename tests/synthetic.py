@@ -31,6 +31,10 @@ def slam_params_dict():
         "nklt_pyr_lvl": 3, "nklt_win_size": 9,
         "finit_parallax": 20.0, "nmin_covscore": 15,
         "fkf_filtering_ratio": 2.0,  # disable culling in the smoke test
+        # background AOT compiles of the big solver families would steal the
+        # CPU from the test itself (prewarm targets the tunneled TPU, where
+        # compiles release the GIL and overlap tracking)
+        "prewarm": 0,
     }
 
 

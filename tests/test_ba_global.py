@@ -151,3 +151,27 @@ def test_span_ba_on_live_map():
         err = np.linalg.norm(
             slam.map.keyframes[k].T_cw[:3, 3] - T_true[k][:3, 3])
         assert err < 5e-3, f"kf {k} not recovered: {err:.4f}"
+
+    # ---- wall-clock-budgeted path (reference: Ceres max_solver_time +
+    # signalStopLocalBA, optimizer.cpp:460-468, :2334-2344) ----
+    # generous budget: chunked LM must still recover the perturbation
+    for k in kfs[len(kfs) // 2:]:
+        slam.map.keyframes[k].T_cw[:3, 3] = (
+            T_true[k][:3, 3]
+            + rng.normal(0, 0.01, 3).astype(np.float32))
+    out_b = slam.estimator.span_ba(slam.map, kfs, max_iters=10,
+                                   time_budget_s=600.0)
+    assert out_b.ran and out_b.cost <= out_b.cost0
+    for k in kfs[len(kfs) // 2:]:
+        err = np.linalg.norm(
+            slam.map.keyframes[k].T_cw[:3, 3] - T_true[k][:3, 3])
+        assert err < 5e-3, f"kf {k} not recovered (budgeted): {err:.4f}"
+
+    # zero budget: exactly one chunk runs, the timeout counter ticks, and
+    # the (partial) result is still written back as a valid improvement
+    n_to = slam.estimator.n_ba_timeouts
+    out_z = slam.estimator.span_ba(slam.map, kfs, max_iters=10,
+                                   time_budget_s=0.0)
+    assert out_z.ran
+    assert slam.estimator.n_ba_timeouts == n_to + 1
+    assert out_z.cost <= out_z.cost0 * 1.01

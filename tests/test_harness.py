@@ -94,9 +94,15 @@ def test_cli_end_to_end(tmp_path):
     env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
     res = subprocess.run(
         [sys.executable, "-m", "ov2slam_tpu.run", str(preset), str(data),
-         "--dataset", "euroc", "--out", str(out), "--no-cache"],
+         "--dataset", "euroc", "--out", str(out), "--no-cache",
+         "--viz-every", "6"],
         capture_output=True, text=True, env=env, timeout=420)
     assert res.returncode == 0, res.stderr[-2000:]
+    # --viz-every dumps live observability artifacts during the run
+    # (reference: frame-rate/KF-rate rviz hooks, ov2slam.cpp:461-480)
+    assert (out / "viz" / "ov2slam_map_points.ply").exists()
+    assert (out / "viz" / "ov2slam_kf_traj.ply").exists()
+    assert (out / "viz" / "track_000006.png").exists()
     traj = np.loadtxt(out / "ov2slam_traj.txt")
     assert traj.shape == (12, 8)
     assert (out / "ov2slam_traj_kitti.txt").exists()

@@ -95,7 +95,10 @@ def test_essential_ransac_with_outliers():
     t_rec = np.asarray(T_rec.t)
     assert abs(np.dot(t_rec, t_gt)) > 0.99
     dR = np.asarray(lie.so3_log(jnp.asarray(np.asarray(T_rec.R) @ np.asarray(T_ab.R).T)))
-    assert np.linalg.norm(dR) < 0.02
+    # ~1.7 deg bound: at 0.3 px bearing noise the GN-polished pose is
+    # noise-limited around 1.1-1.2 deg (measured across PRNG keys); 0.02
+    # sat exactly on that floor and flipped with solver candidate ordering
+    assert np.linalg.norm(dR) < 0.03
 
 
 def test_p3p_grunert_exact():
