@@ -474,3 +474,84 @@ def _lm_run(
         Xw_out = X_f
 
     return BAResult(R_f, t_f, Xw_out, lam_f, inl, cost0, cost_f, it)
+
+
+# ---------------------------------------------------------------------------
+# structure-only BA: block-diagonal normal equations, no Schur machinery
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("max_iters",))
+def solve_structure_only(
+    p: BAProblem,
+    max_iters: int = 3,
+    th2_mono: float = 5.9915,
+    th2_stereo: float = 7.8147,
+    robust: bool = True,
+) -> BAResult:
+    """Refine landmark positions with every pose held fixed
+    (Optimizer::structureOnlyBA, reference: src/optimizer.cpp:2594-2782).
+
+    With poses constant the normal equations are block-diagonal — one 3x3
+    block per landmark — so this solver is batched damped Gauss-Newton with
+    PER-LANDMARK accept/reject (landmark costs are independent), no Schur
+    complement, no reduced camera system. It compiles to a tiny HLO compared
+    to `solve_ba` (whose dense-Schur program both costs a multi-second
+    trace+compile at loop-closure time and has crashed the XLA CPU backend),
+    and runs in a fraction of the time. Landmarks are optimized in XYZ;
+    inverse depths are recomputed from the (fixed) anchor poses afterwards.
+    Landmarks with fewer than 2 valid observations are left untouched (a
+    single ray cannot constrain a point)."""
+    dt = p.Xw.dtype
+    L = p.Xw.shape[0]
+    rob = jnp.asarray(robust)
+
+    n_obs = jnp.zeros((L,), jnp.int32).at[p.obs_lm].add(
+        p.obs_valid.astype(jnp.int32))
+    sel = p.lm_valid & (n_obs >= 2)
+
+    def eqs(Xw):
+        r, _, _, Jx, pos = _residuals_all(p, p.R, p.t, Xw, p.lam, False)
+        w, chi2, th2 = _sqrtw(p, r, pos, th2_mono, th2_stereo, rob)
+        Jw = Jx * w[:, None, None]
+        rw = r * w[:, None]
+        Hb = jnp.einsum("oij,oik->ojk", Jw, Jw)
+        gb = jnp.einsum("oij,oi->oj", Jw, rw)
+        H = jnp.zeros((L, 3, 3), dt).at[p.obs_lm].add(Hb)
+        g = jnp.zeros((L, 3), dt).at[p.obs_lm].add(gb)
+        th = jnp.sqrt(th2)
+        rho = jnp.where(chi2 <= th2, chi2, 2.0 * th * jnp.sqrt(chi2) - th2)
+        c_o = jnp.where(rob, rho, chi2) * p.obs_valid.astype(dt)
+        c = jnp.zeros((L,), dt).at[p.obs_lm].add(c_o)
+        return H, g, c
+
+    H, g, cost_l = eqs(p.Xw)
+    cost0 = jnp.sum(jnp.where(sel, cost_l, 0.0))
+    damp = jnp.full((L,), 1e-3, dt)
+    eye3 = jnp.eye(3, dtype=dt)
+    X = p.Xw
+    for _ in range(max_iters):
+        dH = jnp.maximum(
+            jnp.diagonal(H, axis1=-2, axis2=-1), 1e-8)       # (L, 3)
+        Hd = H + damp[:, None, None] * dH[:, :, None] * eye3 + 1e-10 * eye3
+        dx = -jnp.einsum("lij,lj->li", smallalg.inv3(Hd), g)
+        Xn = jnp.where(sel[:, None], X + dx, X)
+        Hn, gn, cn = eqs(Xn)
+        better = (cn < cost_l) & sel
+        X = jnp.where(better[:, None], Xn, X)
+        H = jnp.where(better[:, None, None], Hn, H)
+        g = jnp.where(better[:, None], gn, g)
+        cost_l = jnp.where(better, cn, cost_l)
+        damp = jnp.clip(jnp.where(better, damp * 0.5, damp * 4.0), 1e-8, 1e4)
+    cost = jnp.sum(jnp.where(sel, cost_l, 0.0))
+
+    # recompute inverse depths in the (fixed) anchor frames
+    z_anc = lie.se3_apply(SE3(p.R[p.anchor], p.t[p.anchor]), X)[..., 2]
+    lam_out = jnp.where(sel, 1.0 / jnp.maximum(z_anc, 1e-6), p.lam)
+
+    # final chi2 / depth-positivity sweep (same gate as solve_ba)
+    r, _, _, _, pos = _residuals_all(p, p.R, p.t, X, lam_out, False)
+    chi2 = jnp.sum(r * r, axis=-1)
+    th2 = jnp.where(p.obs_right, th2_stereo, th2_mono)
+    inl = p.obs_valid & (chi2 <= th2) & pos
+    return BAResult(p.R, p.t, X, lam_out, inl, cost0, cost,
+                    jnp.asarray(max_iters))

@@ -71,22 +71,28 @@ def pnp_lm(
     th2 = jnp.asarray(robust_th2, dt)
     rob = jnp.asarray(robust)
 
-    _, _, cost0, _, _ = _normal_eqs(calib, T_init, Xw, obs_px, w_valid, th2, rob)
+    H, g, cost0, _, _ = _normal_eqs(calib, T_init, Xw, obs_px, w_valid, th2, rob)
     lam = jnp.asarray(1e-3, dt)
 
+    # One normal-equations evaluation per iteration: H/g/cost at the current
+    # accepted pose are CARRIED, the candidate evaluation supplies both the
+    # accept test and (if accepted) the next iteration's H/g. A rejected step
+    # reuses the carried H/g with a larger damping — the same math as
+    # re-deriving them at the unchanged pose, at half the per-iteration work.
     T = T_init
     cost = cost0
     done = jnp.asarray(False)
     for _ in range(max_iters):
-        H, g, _, _, _ = _normal_eqs(calib, T, Xw, obs_px, w_valid, th2, rob)
         Hd = H + lam * jnp.diag(jnp.diag(H)) + 1e-10 * jnp.eye(6, dtype=dt)
         dx = -smallalg.solve_spd(Hd, g)
         T_new = lie.se3_boxplus_left(T, dx)
-        _, _, cost_new, _, _ = _normal_eqs(
+        H_new, g_new, cost_new, _, _ = _normal_eqs(
             calib, T_new, Xw, obs_px, w_valid, th2, rob)
         better = (cost_new < cost) & ~done
         T = SE3(jnp.where(better, T_new.R, T.R),
                 jnp.where(better, T_new.t, T.t))
+        H = jnp.where(better, H_new, H)
+        g = jnp.where(better, g_new, g)
         lam = jnp.where(done, lam,
                         jnp.clip(jnp.where(better, lam * 0.5, lam * 4.0),
                                  1e-8, 1e4))

@@ -124,6 +124,11 @@ class Estimator:
         over a whole run)."""
         if self.fetcher is None or not self.params.prewarm:
             return
+        import jax
+        if jax.default_backend() == "cpu":
+            # background compiles on the CPU backend contend for the host
+            # core and race the XLA CPU compiler (see SlamSystem.__init__)
+            return
         kfs = m.keyframes
         n = len(kfs)
         if n < 3:
@@ -711,7 +716,17 @@ class Estimator:
             meta["lm_valid"] = meta["lm_valid"] & keep
             if not keep.any():
                 return out
-        result = self._solve(prob, max_iters)
+        if structure_only:
+            # block-diagonal solver: no Schur machinery, tiny HLO — the
+            # dense solve_ba program here cost a multi-second trace+compile
+            # per bucket family AT LOOP-CLOSURE TIME (and has crashed the
+            # XLA CPU backend's LLVM pipeline)
+            p = self.params
+            result = ba_mod.solve_structure_only(
+                prob, max_iters=max_iters, th2_mono=p.robust_mono_th,
+                th2_stereo=p.robust_stereo_th)
+        else:
+            result = self._solve(prob, max_iters)
         R_np, t_np, Xw_np, lam_np = fetch_np(
             result.R, result.t, result.Xw, result.lam)
         for i, kfid_i in enumerate(kf_list):

@@ -225,7 +225,12 @@ class SlamSystem:
         # tracking; jit caches are per-function, so warming with dummy
         # problems warms the live path regardless of later reset()s.
         self._prewarm_thread = None
-        if p.prewarm:
+        # CPU backend: compilation happens on the (often single) host core,
+        # so a background prewarm thread steals exactly the resource the
+        # pipeline needs AND races the main thread inside the XLA CPU
+        # compiler (observed SIGSEGV under pytest); prewarm only pays off
+        # when compilation targets a remote accelerator.
+        if p.prewarm and jax.default_backend() != "cpu":
             import threading
             self._prewarm_thread = threading.Thread(
                 target=self._prewarm, daemon=True)
