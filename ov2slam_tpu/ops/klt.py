@@ -132,6 +132,13 @@ def _track_level(
     hw = ws // 2
     dt = prev_pts.dtype
 
+    # Images (and their gradient pyramids) may be stored in float16: the
+    # window gathers are the dominant streamed bytes of the tracking step and
+    # halve in f16, while all post-extraction math stays f32 (f16's 10
+    # mantissa bits keep the quantization noise well under the subpixel
+    # convergence epsilon; bf16's 8 would not).
+    img_dt = prev_img.dtype
+
     def origins(pts):
         o = jnp.round(pts).astype(jnp.int32) - hw
         ox = jnp.clip(o[:, 0], 0, W - ws)
@@ -141,12 +148,14 @@ def _track_level(
     # template patches + gradients at prev_pts (fixed for all iterations),
     # extracted in ONE stacked slice + sampled in one batched matmul
     if prev_grad is None:
-        ix_img, iy_img = im.scharr_gradients(prev_img)
+        ix_img, iy_img = im.scharr_gradients(prev_img.astype(jnp.float32))
     else:
         ix_img, iy_img = prev_grad
     o_prev = origins(prev_pts)
     pos_prev = prev_pts - o_prev.astype(dt)
-    twin = _extract_windows(jnp.stack([prev_img, ix_img, iy_img]), o_prev, ws)
+    twin = _extract_windows(
+        jnp.stack([prev_img, ix_img.astype(img_dt), iy_img.astype(img_dt)]),
+        o_prev, ws).astype(dt)
     tmpl, gx, gy = _sample_in_windows(twin, pos_prev, win)
 
     # 2x2 spatial gradient matrix per keypoint
@@ -178,7 +187,7 @@ def _track_level(
     use_pallas = _use_pallas()
     for ci in range(n_chunks):
         o_next = origins(pts)
-        nwin = _extract_windows(next_img[None], o_next, ws)[0]
+        nwin = _extract_windows(next_img[None], o_next, ws)[0].astype(dt)
         ctr = o_next.astype(dt) + hw
 
         if use_pallas:

@@ -106,7 +106,8 @@ def main(argv=None):
                 base = (slam.fe_state.pyr[0]
                         if getattr(slam, "fe_state", None) is not None
                         else iml)
-                img = viz.draw_track_image(np.asarray(base), slam)
+                img = viz.draw_track_image(
+                    np.asarray(base, dtype=np.float32), slam)
                 cv2.imwrite(os.path.join(viz_dir, f"track_{n:06d}.png"), img)
             except ImportError:
                 pass            # overlay needs cv2; PLYs below do not

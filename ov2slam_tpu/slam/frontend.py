@@ -283,8 +283,20 @@ def check_new_kf(
 # stats vector out (fetched with copy_to_host_async so the round trip hides
 # behind the next dispatch).
 
+# Pyramid / gradient storage dtype for the device-resident state: float16
+# halves every KLT window gather's streamed bytes and the donated-state
+# carry; all math runs f32 after window extraction (ops/klt.py). f16 keeps
+# 10 mantissa bits (quantization ≈ ±0.06 at intensity 255 — an order below
+# the GN convergence epsilon's sensitivity); bf16's 8 bits would not.
+PYR_DT = jnp.float16
+
+
+def _cast_pyr(pyr):
+    return tuple(a.astype(PYR_DT) for a in pyr)
+
+
 class FEState(NamedTuple):
-    pyr: Tuple[jnp.ndarray, ...]       # previous frame pyramid
+    pyr: Tuple[jnp.ndarray, ...]       # previous frame pyramid (PYR_DT)
     gx: Tuple[jnp.ndarray, ...]        # Scharr gradient pyramids of prev
     gy: Tuple[jnp.ndarray, ...]
     kps: FrameKps
@@ -306,6 +318,7 @@ def init_fe_state(img_u8: np.ndarray, kp_cap: int, levels: int,
                   use_clahe: bool, clahe_clip: float, seed: int = 0) -> FEState:
     pyr = preprocess(jnp.asarray(img_u8), levels, use_clahe, clahe_clip)
     gx, gy = _grad_pyrs(pyr)
+    pyr, gx, gy = _cast_pyr(pyr), _cast_pyr(gx), _cast_pyr(gy)
     return FEState(
         pyr=pyr, gx=gx, gy=gy,
         kps=FrameKps.empty(kp_cap),
@@ -363,6 +376,10 @@ def _frame_step_impl(
     """
     cur_pyr = preprocess(img_u8, levels, use_clahe, clahe_clip)
     cur_gx, cur_gy = _grad_pyrs(cur_pyr)
+    # storage + gather dtype (see PYR_DT): the full-image preprocess ran f32;
+    # everything downstream gathers small windows and computes f32 on them
+    cur_pyr, cur_gx, cur_gy = (_cast_pyr(cur_pyr), _cast_pyr(cur_gx),
+                               _cast_pyr(cur_gy))
 
     # motion model on device: T_prior = vel ∘ T_prev (constant velocity)
     T_prev = SE3(state.R_cw, state.t_cw)

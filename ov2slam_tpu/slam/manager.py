@@ -629,7 +629,7 @@ class SlamSystem:
         (local-map matching then re-associates landmarks)."""
         from ov2slam_tpu.slam import mapper as mp
         from ov2slam_tpu.ops import detect as dmod, describe as dsmod
-        img = self.fe_state.pyr[0]
+        img = self.fe_state.pyr[0].astype(jnp.float32)  # state stores PYR_DT
         # fresh corners + descriptors (the current table may be empty)
         resp = dmod.min_eig_response(img)
         det = dmod.grid_select(resp, jnp.zeros((8, 2), jnp.float32),
@@ -925,9 +925,9 @@ class SlamSystem:
             detector = ("gftt" if p.use_shi_tomasi
                         else "fast" if p.use_fast else "singlescale")
             if stereo:
-                right_pyr = fe_mod.preprocess(
+                right_pyr = fe_mod._cast_pyr(fe_mod.preprocess(
                     _to_device_u8(imr),
-                    p.nklt_pyr_lvl, p.use_clahe, p.fclahe_val)
+                    p.nklt_pyr_lvl, p.use_clahe, p.fclahe_val))
             else:
                 right_pyr = cur_pyr
             lm_pos, lm_is3d = self.map.device_landmarks()

@@ -51,6 +51,7 @@ def detect_keypoints(
     extractKeypoints, map_manager.cpp:286-341). detector selects the response
     map: "singlescale"/"gftt" = Shi-Tomasi min-eig (detectSingleScale /
     detectGFTT), "fast" = FAST-9 score (detectGridFAST)."""
+    img = img.astype(jnp.float32)   # response math overflows in f16 storage
     if detector == "fast":
         resp = det_mod.fast_score(img, float(fast_th))
     else:
@@ -84,14 +85,14 @@ def sad_line_prior(
         return jax.lax.dynamic_slice(
             left_img, (y - half, x - half), (win, win))
 
-    tmpl = jax.vmap(slice_l)(ix, iy)                     # (N, win, win)
+    tmpl = jax.vmap(slice_l)(ix, iy).astype(jnp.float32)  # (N, win, win)
     SW = win + max_disp
     sx = jnp.clip(ix - max_disp - half, 0, W - SW)
 
     def slice_r(x, y):
         return jax.lax.dynamic_slice(right_img, (y - half, x), (win, SW))
 
-    strip = jax.vmap(slice_r)(sx, iy)                    # (N, win, SW)
+    strip = jax.vmap(slice_r)(sx, iy).astype(jnp.float32)  # (N, win, SW)
     sads = jnp.stack(
         [jnp.mean(jnp.abs(strip[:, :, s:s + win] - tmpl), axis=(1, 2))
          for s in range(max_disp + 1)], axis=1)          # (N, max_disp+1)
@@ -102,7 +103,7 @@ def sad_line_prior(
     centers = sx[:, None] + jnp.arange(max_disp + 1)[None, :] + half
     sads = jnp.where(centers <= ix[:, None], sads, jnp.inf)
     best = jnp.argmin(sads, axis=1)
-    x_best = (sx + best + half).astype(left_img.dtype)
+    x_best = (sx + best + half).astype(jnp.float32)
     return x_best, jnp.min(sads, axis=1)
 
 
@@ -388,7 +389,9 @@ def kf_step(
     map registry from a single overlapped fetch (the KF path previously had
     ~6 separate dispatch+fetch groups; each blocking round trip costs ~30 ms
     on the tunneled TPU)."""
-    img = left_pyr[0]
+    # pyramids may be stored f16 (frontend.PYR_DT); detection responses /
+    # descriptors / subpix run f32 (min-eig squares overflow f16)
+    img = left_pyr[0].astype(jnp.float32)
 
     # ---- detect + insert ----
     # "singlescale" = per-cell min-eig max (detectSingleScale,
